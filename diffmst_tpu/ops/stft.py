@@ -1,0 +1,84 @@
+"""Batched STFT with torch.stft-compatible conventions.
+
+The reference computes spectrograms with ``torch.stft(n_fft=2048, hop=512,
+window=hann, return_complex=True)`` (/root/reference/mst/modules.py:786-792)
+and bark features with a 32768-point STFT (/root/reference/mst/loss.py:106-112).
+torch.stft defaults reproduced here: center=True with reflect padding, onesided,
+output layout (..., freq_bins, frames).
+
+Framing uses ``lax.conv_general_dilated_patches`` — a strided gather that XLA
+lowers to an efficient windowed copy — followed by one batched rFFT, which is
+the TPU-native formulation (no Python loops, static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["hann_window", "frame_signal", "stft", "spectrogram_mag"]
+
+
+@functools.lru_cache(maxsize=32)
+def hann_window(n: int) -> np.ndarray:
+    """Periodic Hann window matching torch.hann_window(n)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
+    """Slice (..., T) into overlapping frames -> (..., frame_len, num_frames)."""
+    lead = x.shape[:-1]
+    flat = x.reshape((-1, 1, x.shape[-1]))
+    patches = jax.lax.conv_general_dilated_patches(
+        flat,
+        filter_shape=(frame_len,),
+        window_strides=(hop,),
+        padding="VALID",
+    )  # (B, frame_len, num_frames)
+    return patches.reshape(lead + patches.shape[1:])
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int | None = None,
+    center: bool = True,
+    window: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Short-time Fourier transform of (..., T) -> complex (..., n_fft//2+1, frames).
+
+    Matches torch.stft semantics: with center=True the signal is reflect-padded
+    by n_fft//2 on both sides, giving 1 + T // hop frames.
+    """
+    if win_length is None:
+        win_length = n_fft
+    if window is None:
+        window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pad, mode="reflect")
+    frames = frame_signal(x, n_fft, hop_length)  # (..., n_fft, F)
+    frames = frames * window[..., :, None]
+    return jnp.fft.rfft(frames, axis=-2)
+
+
+def spectrogram_mag(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    power: float = 1.0,
+    eps: float = 0.0,
+) -> jnp.ndarray:
+    """Magnitude (or compressed-magnitude) spectrogram of (..., T)."""
+    X = stft(x, n_fft, hop_length)
+    mag = jnp.abs(X) + eps
+    if power != 1.0:
+        mag = jnp.power(mag, power)
+    return mag
