@@ -62,6 +62,34 @@ def octave_band_filterbank(num_taps: int, sample_rate: float) -> np.ndarray:
     return np.stack(filters).astype(np.float32)
 
 
+def next_fast_len(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) integer >= n.
+
+    XLA:TPU lowers FFTs whose length contains a large prime factor to a dense
+    DFT matmul (observed: length 327679 -> an 18 GB f32[67580, 67580]
+    allocation). Always padding convolutions to a 5-smooth length keeps the
+    FFT on the fast path.
+    """
+    if n <= 1:
+        return 1
+    best = 1 << (n - 1).bit_length()  # next power of two is an upper bound
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            # smallest power-of-two multiple of p35 that is >= n
+            q = p35 * max(1, 1 << max(0, (n + p35 - 1) // p35 - 1).bit_length())
+            while q < n:
+                q *= 2
+            while q // 2 >= n and q % 2 == 0:
+                q //= 2
+            if n <= q < best:
+                best = q
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
 def fft_convolve(x: jnp.ndarray, h: jnp.ndarray, mode: str = "causal") -> jnp.ndarray:
     """Linear convolution along the last axis via FFT.
 
@@ -76,10 +104,11 @@ def fft_convolve(x: jnp.ndarray, h: jnp.ndarray, mode: str = "causal") -> jnp.nd
       Convolved signal.
     """
     t, k = x.shape[-1], h.shape[-1]
-    n = t + k - 1
+    n_min = t + k - 1
+    n = next_fast_len(n_min)
     X = jnp.fft.rfft(x, n=n, axis=-1)
     Hf = jnp.fft.rfft(h, n=n, axis=-1)
-    y = jnp.fft.irfft(X * Hf, n=n, axis=-1)
+    y = jnp.fft.irfft(X * Hf, n=n, axis=-1)[..., :n_min]
     if mode == "full":
         return y
     if mode == "causal":
