@@ -1,0 +1,31 @@
+"""L3 — neural models (Flax)."""
+
+from diffmst_tpu.models.cnn14 import Cnn14, ConvBlock
+from diffmst_tpu.models.controller import TransformerController
+from diffmst_tpu.models.encoders import (
+    PositionalEncoding,
+    SpectrogramEncoder,
+    WaveformTransformerEncoder,
+)
+from diffmst_tpu.models.fx_encoder import (
+    FXencoder,
+    ParameterProjector,
+    default_fx_encoder_config,
+)
+from diffmst_tpu.models.mst_model import MixStyleTransferModel
+from diffmst_tpu.models.transformer import TransformerEncoder, TransformerEncoderLayer
+
+__all__ = [
+    "Cnn14",
+    "ConvBlock",
+    "TransformerController",
+    "SpectrogramEncoder",
+    "WaveformTransformerEncoder",
+    "PositionalEncoding",
+    "FXencoder",
+    "ParameterProjector",
+    "default_fx_encoder_config",
+    "MixStyleTransferModel",
+    "TransformerEncoder",
+    "TransformerEncoderLayer",
+]

@@ -1,0 +1,96 @@
+"""Cnn14 (PANN) spectrogram backbone in Flax.
+
+Rebuild of /root/reference/mst/panns.py:27-209 (itself adapted from the
+audioset_tagging_cnn PANN family, MIT): six double-conv blocks
+(64->128->256->512->1024->2048 channels, 3x3 convs, BatchNorm, ReLU, average
+pooling with the exact pool schedule panns.py:188-198), mean over frequency,
+max+mean over time, linear head.
+
+TPU notes: convs run in NHWC (XLA:TPU's native conv layout); the channel
+counts are MXU-friendly multiples of 128 from block 2 on. BatchNorm supports
+cross-replica stats via ``axis_name`` (the reference trains with
+sync_batchnorm, configs/config.yaml:41).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["ConvBlock", "Cnn14"]
+
+
+class ConvBlock(nn.Module):
+    out_channels: int
+    use_batchnorm: bool = True
+    pool_type: str = "avg"
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pool_size: Tuple[int, int], train: bool = False):
+        """x: (bs, H, W, C) NHWC."""
+        for i in range(2):
+            x = nn.Conv(
+                self.out_channels,
+                kernel_size=(3, 3),
+                padding="SAME",
+                use_bias=False,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name=f"conv{i + 1}",
+            )(x)
+            if self.use_batchnorm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis_name=self.bn_axis_name if train else None,
+                    name=f"bn{i + 1}",
+                )(x)
+            x = nn.relu(x)
+        if self.pool_type == "avg":
+            x = nn.avg_pool(x, pool_size, strides=pool_size)
+        elif self.pool_type == "max":
+            x = nn.max_pool(x, pool_size, strides=pool_size)
+        elif self.pool_type == "avg+max":
+            x = nn.avg_pool(x, pool_size, strides=pool_size) + nn.max_pool(
+                x, pool_size, strides=pool_size
+            )
+        else:
+            raise ValueError(f"bad pool_type {self.pool_type}")
+        return x
+
+
+class Cnn14(nn.Module):
+    num_classes: int
+    n_inputs: int = 1
+    use_batchnorm: bool = True
+    bn_axis_name: Optional[str] = None
+
+    # (channels, pool) schedule per panns.py:188-198
+    _SCHEDULE = ((64, (2, 2)), (128, (4, 4)), (256, (4, 2)),
+                 (512, (4, 2)), (1024, (4, 2)), (2048, (2, 2)))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: (bs, chs, bins, frames) spectrogram (torch NCHW layout in,
+        converted to NHWC internally). Returns (bs, num_classes)."""
+        x = jnp.transpose(x, (0, 2, 3, 1))  # -> (bs, bins, frames, chs)
+        for i, (ch, pool) in enumerate(self._SCHEDULE):
+            x = ConvBlock(
+                ch,
+                use_batchnorm=self.use_batchnorm,
+                bn_axis_name=self.bn_axis_name,
+                name=f"conv_block{i + 1}",
+            )(x, pool, train=train)
+        # mean across frequency bins (torch dim=2 == our axis 1)
+        x = jnp.mean(x, axis=1)  # (bs, frames', ch)
+        # max + mean over time
+        x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)  # (bs, ch)
+        x = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc",
+        )(x)
+        return x

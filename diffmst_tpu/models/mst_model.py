@@ -1,0 +1,107 @@
+"""MixStyleTransferModel: top-level parameter-prediction network.
+
+Rebuild of /root/reference/mst/modules.py:17-68: encode each mono track and
+each reference-mix channel with (shared-architecture, separately-weighted)
+encoders, feed embeddings to the controller.
+
+The ``sum_and_diff`` mid/side path exists for parity but the reference's is
+shape-broken (modules.py:45-51 drops the channel dim); here it is implemented
+correctly (mid = L+R, side = L-R, each encoded as a 1-channel signal) and
+documented as a fixed deviation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from diffmst_tpu.models.controller import TransformerController
+from diffmst_tpu.models.encoders import SpectrogramEncoder
+
+__all__ = ["MixStyleTransferModel"]
+
+
+class MixStyleTransferModel(nn.Module):
+    track_encoder: nn.Module
+    mix_encoder: nn.Module
+    controller: nn.Module
+    sum_and_diff: bool = False
+
+    def __call__(
+        self,
+        tracks: jnp.ndarray,
+        ref_mix: jnp.ndarray,
+        track_padding_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """
+        Args:
+          tracks: (bs, num_tracks, seq_len) mono stems.
+          ref_mix: (bs, 2, seq_len) stereo reference mix.
+          track_padding_mask: (bs, num_tracks) True = padded.
+
+        Returns:
+          (track_params, fx_bus_params, master_bus_params), all in (0, 1).
+        """
+        bs, num_tracks, seq_len = tracks.shape
+
+        track_embeds = self.track_encoder(
+            tracks.reshape(bs * num_tracks, 1, seq_len), train=train
+        )
+        track_embeds = track_embeds.reshape(bs, num_tracks, -1)
+
+        if self.sum_and_diff:
+            mid = (ref_mix[:, 0:1, :] + ref_mix[:, 1:2, :])
+            side = (ref_mix[:, 0:1, :] - ref_mix[:, 1:2, :])
+            mid_e = self.mix_encoder(mid, train=train)
+            side_e = self.mix_encoder(side, train=train)
+            mix_embeds = jnp.stack([mid_e, side_e], axis=1)
+        else:
+            mix_embeds = self.mix_encoder(
+                ref_mix.reshape(bs * 2, 1, seq_len), train=train
+            )
+            mix_embeds = mix_embeds.reshape(bs, 2, -1)
+
+        return self.controller(
+            track_embeds, mix_embeds, track_padding_mask, train=train
+        )
+
+    @staticmethod
+    def build(
+        embed_dim: int = 512,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        num_layers: int = 12,
+        nhead: int = 8,
+        num_track_control_params: int = 27,
+        num_fx_bus_control_params: int = 25,
+        num_master_bus_control_params: int = 26,
+        sum_and_diff: bool = False,
+        bn_axis_name: Optional[str] = None,
+    ) -> "MixStyleTransferModel":
+        """The shipped configuration (configs/models/naive.yaml:30-52)."""
+        return MixStyleTransferModel(
+            track_encoder=SpectrogramEncoder(
+                embed_dim=embed_dim,
+                n_fft=n_fft,
+                hop_length=hop_length,
+                bn_axis_name=bn_axis_name,
+            ),
+            mix_encoder=SpectrogramEncoder(
+                embed_dim=embed_dim,
+                n_fft=n_fft,
+                hop_length=hop_length,
+                bn_axis_name=bn_axis_name,
+            ),
+            controller=TransformerController(
+                embed_dim=embed_dim,
+                num_track_control_params=num_track_control_params,
+                num_fx_bus_control_params=num_fx_bus_control_params,
+                num_master_bus_control_params=num_master_bus_control_params,
+                num_layers=num_layers,
+                nhead=nhead,
+            ),
+            sum_and_diff=sum_and_diff,
+        )

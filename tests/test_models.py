@@ -1,0 +1,158 @@
+"""Model tests: shapes, parameter counts vs the reference architecture,
+controller masking semantics, transformer parity with torch, full model
+forward. Small shapes keep CPU runtime sane; shapes scale statically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmst_tpu import models
+
+
+def test_cnn14_output_shape_and_param_count():
+    m = models.Cnn14(num_classes=512)
+    x = jnp.zeros((2, 1, 1025, 129))  # (bs, chs, bins, frames)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (2, 512)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vars_["params"]))
+    # torch Cnn14(embed 512): conv stacks ~75.6M + fc 2048*512+512
+    # conv params: sum over blocks of (3*3*cin*cout + 3*3*cout*cout)
+    sched = [(1, 64), (64, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
+    conv = sum(9 * ci * co + 9 * co * co for ci, co in sched)
+    bn = sum(2 * co * 2 for _, co in sched)  # scale+bias, two BN per block
+    fc = 2048 * 512 + 512
+    assert n_params == conv + bn + fc
+
+
+def test_transformer_layer_matches_torch():
+    torch = pytest.importorskip("torch")
+    d, h, s, bs = 64, 4, 6, 2
+    layer = models.TransformerEncoderLayer(d_model=d, nhead=h)
+    x = np.random.default_rng(0).normal(size=(bs, s, d)).astype(np.float32)
+    vars_ = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    tl = torch.nn.TransformerEncoderLayer(d, h, batch_first=True, dropout=0.0)
+    tl.eval()
+    # port torch weights -> flax and compare outputs
+    sd = tl.state_dict()
+    w_in = sd["self_attn.in_proj_weight"].numpy()  # (3d, d)
+    b_in = sd["self_attn.in_proj_bias"].numpy()
+    p = vars_["params"]
+    p["q_proj"]["kernel"] = jnp.asarray(w_in[:d].T)
+    p["q_proj"]["bias"] = jnp.asarray(b_in[:d])
+    p["k_proj"]["kernel"] = jnp.asarray(w_in[d : 2 * d].T)
+    p["k_proj"]["bias"] = jnp.asarray(b_in[d : 2 * d])
+    p["v_proj"]["kernel"] = jnp.asarray(w_in[2 * d :].T)
+    p["v_proj"]["bias"] = jnp.asarray(b_in[2 * d :])
+    p["out_proj"]["kernel"] = jnp.asarray(sd["self_attn.out_proj.weight"].numpy().T)
+    p["out_proj"]["bias"] = jnp.asarray(sd["self_attn.out_proj.bias"].numpy())
+    p["linear1"]["kernel"] = jnp.asarray(sd["linear1.weight"].numpy().T)
+    p["linear1"]["bias"] = jnp.asarray(sd["linear1.bias"].numpy())
+    p["linear2"]["kernel"] = jnp.asarray(sd["linear2.weight"].numpy().T)
+    p["linear2"]["bias"] = jnp.asarray(sd["linear2.bias"].numpy())
+    p["norm1"]["scale"] = jnp.asarray(sd["norm1.weight"].numpy())
+    p["norm1"]["bias"] = jnp.asarray(sd["norm1.bias"].numpy())
+    p["norm2"]["scale"] = jnp.asarray(sd["norm2.weight"].numpy())
+    p["norm2"]["bias"] = jnp.asarray(sd["norm2.bias"].numpy())
+
+    ours = np.asarray(layer.apply({"params": p}, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = tl(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_controller_shapes_and_mask():
+    bs, nt, d = 2, 5, 64
+    ctrl = models.TransformerController(
+        embed_dim=d, num_track_control_params=27,
+        num_fx_bus_control_params=25, num_master_bus_control_params=26,
+        num_layers=2, nhead=4,
+    )
+    te = jax.random.normal(jax.random.PRNGKey(0), (bs, nt, d))
+    me = jax.random.normal(jax.random.PRNGKey(1), (bs, 2, d))
+    mask = jnp.zeros((bs, nt), bool).at[:, -2:].set(True)
+    vars_ = ctrl.init(jax.random.PRNGKey(2), te, me, mask)
+    tp, fp, mp = ctrl.apply(vars_, te, me, mask)
+    assert tp.shape == (bs, nt, 27)
+    assert fp.shape == (bs, 25)
+    assert mp.shape == (bs, 26)
+    assert (np.asarray(tp) >= 0).all() and (np.asarray(tp) <= 1).all()
+    # changing a masked track's embedding must not affect unmasked outputs
+    te2 = te.at[:, -1, :].add(100.0)
+    tp2, fp2, mp2 = ctrl.apply(vars_, te2, me, mask)
+    np.testing.assert_allclose(np.asarray(tp[:, :3]), np.asarray(tp2[:, :3]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fp2), atol=1e-5)
+
+
+def test_spectrogram_encoder_shape():
+    enc = models.SpectrogramEncoder(embed_dim=128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 65536))
+    vars_ = enc.init(jax.random.PRNGKey(1), x)
+    y = enc.apply(vars_, x)
+    assert y.shape == (2, 128)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_mst_model_end_to_end_small():
+    model = models.MixStyleTransferModel.build(
+        embed_dim=64, num_layers=2, nhead=4
+    )
+    bs, nt, t = 1, 2, 65536
+    tracks = jax.random.normal(jax.random.PRNGKey(0), (bs, nt, t)) * 0.1
+    ref = jax.random.normal(jax.random.PRNGKey(1), (bs, 2, t)) * 0.1
+    mask = jnp.zeros((bs, nt), bool)
+    vars_ = model.init(jax.random.PRNGKey(2), tracks, ref, mask)
+    tp, fp, mp = model.apply(vars_, tracks, ref, mask)
+    assert tp.shape == (bs, nt, 27)
+    assert fp.shape == (bs, 25)
+    assert mp.shape == (bs, 26)
+    # params in (0,1) as the console requires
+    for p in (tp, fp, mp):
+        a = np.asarray(p)
+        assert (a > 0).all() and (a < 1).all()
+
+
+def test_mst_model_sum_and_diff_path():
+    model = models.MixStyleTransferModel.build(
+        embed_dim=64, num_layers=1, nhead=4, sum_and_diff=True
+    )
+    bs, nt, t = 1, 2, 65536
+    tracks = jax.random.normal(jax.random.PRNGKey(0), (bs, nt, t)) * 0.1
+    ref = jax.random.normal(jax.random.PRNGKey(1), (bs, 2, t)) * 0.1
+    vars_ = model.init(jax.random.PRNGKey(2), tracks, ref)
+    tp, fp, mp = model.apply(vars_, tracks, ref)
+    assert tp.shape == (bs, nt, 27)
+
+
+def test_fx_encoder_and_projector():
+    cfg = models.default_fx_encoder_config()
+    cfg["channels"] = cfg["channels"][:4]
+    cfg["kernels"] = cfg["kernels"][:4]
+    cfg["strides"] = cfg["strides"][:4]
+    cfg["dilation"] = cfg["dilation"][:4]
+    enc = models.FXencoder(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16384)) * 0.1
+    vars_ = enc.init(jax.random.PRNGKey(1), x)
+    z = enc.apply(vars_, x)
+    assert z.shape == (2, cfg["channels"][3])
+
+    proj = models.ParameterProjector(
+        embed_dim=z.shape[-1] * 2, num_tracks=8,
+        num_track_control_params=27, num_fx_bus_control_params=25,
+        num_master_bus_control_params=26,
+    )
+    zz = jnp.concatenate([z, z], axis=-1)
+    pv = proj.init(jax.random.PRNGKey(2), zz)
+    tp, fp, mp = proj.apply(pv, zz)
+    assert tp.shape == (2, 8, 27) and fp.shape == (2, 25) and mp.shape == (2, 26)
+
+
+def test_waveform_transformer_encoder():
+    enc = models.WaveformTransformerEncoder(block_size=256, num_layers=1, nhead=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4096))
+    vars_ = enc.init(jax.random.PRNGKey(1), x)
+    z = enc.apply(vars_, x)
+    assert z.shape == (2, 256)
