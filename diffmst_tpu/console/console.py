@@ -68,6 +68,14 @@ class BasicMixConsole:
             self.max_pan,
         )
 
+    def param_dicts(self, track_params, fx_bus_params=None, master_bus_params=None):
+        """Denormalized (track, fx, master) dicts; basic console has no busses."""
+        param_dict = {
+            "input_fader": {"gain_db": track_params[..., 0]},
+            "stereo_panner": {"pan": track_params[..., 1]},
+        }
+        return _ranges.denormalize_parameters(param_dict, self.param_ranges), {}, {}
+
     def __call__(
         self,
         tracks: jnp.ndarray,
@@ -81,11 +89,7 @@ class BasicMixConsole:
         **_unused_flags,
     ) -> ConsoleOutput:
         bs, num_tracks, seq_len = tracks.shape
-        param_dict = {
-            "input_fader": {"gain_db": track_params[..., 0]},
-            "stereo_panner": {"pan": track_params[..., 1]},
-        }
-        d = _ranges.denormalize_parameters(param_dict, self.param_ranges)
+        d, _, _ = self.param_dicts(track_params)
 
         x = tracks
         if use_track_input_fader:
@@ -158,6 +162,20 @@ class AdvancedMixConsole:
             self.reverb_min_band_decay,
             self.reverb_max_band_decay,
         )
+
+    def param_dicts(self, track_params, fx_bus_params=None, master_bus_params=None):
+        """Denormalized (track, fx, master) parameter dicts from (0,1) vectors."""
+        rngs = self.param_ranges
+        track_d = _ranges.denormalize_parameters(
+            _ranges.split_track_params(track_params), rngs
+        )
+        fx_d = _ranges.denormalize_parameters(
+            _ranges.split_fx_bus_params(fx_bus_params), rngs
+        )
+        master_d = _ranges.denormalize_parameters(
+            _ranges.split_master_bus_params(master_bus_params), rngs
+        )
+        return track_d, fx_d, master_d
 
     def forward_mix_console(
         self,
@@ -263,15 +281,8 @@ class AdvancedMixConsole:
           use_*: static effect toggles (curriculum stages).
           key: PRNG key for the reverb noise IR (required when use_fx_bus).
         """
-        rngs = self.param_ranges
-        track_d = _ranges.denormalize_parameters(
-            _ranges.split_track_params(track_params), rngs
-        )
-        fx_d = _ranges.denormalize_parameters(
-            _ranges.split_fx_bus_params(fx_bus_params), rngs
-        )
-        master_d = _ranges.denormalize_parameters(
-            _ranges.split_master_bus_params(master_bus_params), rngs
+        track_d, fx_d, master_d = self.param_dicts(
+            track_params, fx_bus_params, master_bus_params
         )
         stems, mix = self.forward_mix_console(
             tracks,

@@ -67,19 +67,30 @@ class Cnn14(nn.Module):
     n_inputs: int = 1
     use_batchnorm: bool = True
     bn_axis_name: Optional[str] = None
+    # Width of the first block; the reference is 64 (doubling per block to
+    # 2048). Smaller values give architecture-faithful but cheap models for
+    # tests and multi-chip dry runs.
+    base_width: int = 64
 
-    # (channels, pool) schedule per panns.py:188-198
-    _SCHEDULE = ((64, (2, 2)), (128, (4, 4)), (256, (4, 2)),
-                 (512, (4, 2)), (1024, (4, 2)), (2048, (2, 2)))
+    # pool schedule per panns.py:188-198
+    _POOLS = ((2, 2), (4, 4), (4, 2), (4, 2), (4, 2), (2, 2))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: (bs, chs, bins, frames) spectrogram (torch NCHW layout in,
         converted to NHWC internally). Returns (bs, num_classes)."""
         x = jnp.transpose(x, (0, 2, 3, 1))  # -> (bs, bins, frames, chs)
-        for i, (ch, pool) in enumerate(self._SCHEDULE):
+        # The pool schedule divides (bins, frames) by (1024, 128); smaller
+        # inputs silently produce zero-size dims and NaN outputs downstream.
+        if x.shape[1] < 1024 or x.shape[2] < 128:
+            raise ValueError(
+                f"Cnn14 needs a spectrogram of at least (1024 bins, 128 frames) "
+                f"for its pool schedule; got {x.shape[1:3]}. Use n_fft >= 2048 "
+                f"and seq_len >= 128 * hop_length."
+            )
+        for i, pool in enumerate(self._POOLS):
             x = ConvBlock(
-                ch,
+                self.base_width << i,
                 use_batchnorm=self.use_batchnorm,
                 bn_axis_name=self.bn_axis_name,
                 name=f"conv_block{i + 1}",

@@ -34,6 +34,7 @@ class SpectrogramEncoder(nn.Module):
     bn_axis_name: Optional[str] = None
     spec_power: float = 0.3
     spec_eps: float = 1e-8
+    cnn_base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -57,6 +58,7 @@ class SpectrogramEncoder(nn.Module):
             n_inputs=self.n_inputs,
             use_batchnorm=self.encoder_batchnorm,
             bn_axis_name=self.bn_axis_name,
+            base_width=self.cnn_base_width,
             name="model",
         )(mag, train=train)
 

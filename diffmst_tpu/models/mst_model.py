@@ -60,7 +60,7 @@ class MixStyleTransferModel(nn.Module):
             mix_embeds = jnp.stack([mid_e, side_e], axis=1)
         else:
             mix_embeds = self.mix_encoder(
-                ref_mix.reshape(bs * 2, 1, seq_len), train=train
+                ref_mix.reshape(bs * 2, 1, ref_mix.shape[-1]), train=train
             )
             mix_embeds = mix_embeds.reshape(bs, 2, -1)
 
@@ -80,6 +80,7 @@ class MixStyleTransferModel(nn.Module):
         num_master_bus_control_params: int = 26,
         sum_and_diff: bool = False,
         bn_axis_name: Optional[str] = None,
+        cnn_base_width: int = 64,
     ) -> "MixStyleTransferModel":
         """The shipped configuration (configs/models/naive.yaml:30-52)."""
         return MixStyleTransferModel(
@@ -88,12 +89,14 @@ class MixStyleTransferModel(nn.Module):
                 n_fft=n_fft,
                 hop_length=hop_length,
                 bn_axis_name=bn_axis_name,
+                cnn_base_width=cnn_base_width,
             ),
             mix_encoder=SpectrogramEncoder(
                 embed_dim=embed_dim,
                 n_fft=n_fft,
                 hop_length=hop_length,
                 bn_axis_name=bn_axis_name,
+                cnn_base_width=cnn_base_width,
             ),
             controller=TransformerController(
                 embed_dim=embed_dim,

@@ -1,0 +1,70 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is Lightning DDP over NCCL
+(configs/config.yaml:40-41) — gradient all-reduce over data-parallel
+replicas. The TPU-native equivalent is a 2-D ``jax.sharding.Mesh``:
+
+  * ``dp`` — data parallel over the batch axis. Gradients all-reduce over ICI
+    implicitly when the jitted train step consumes dp-sharded batches with
+    replicated parameters.
+  * ``mp`` — intra-example parallelism over the flattened batch*track axis
+    (the reference folds tracks into the batch at modules.py:223; that axis
+    is embarrassingly parallel through the per-track chain and the track
+    encoder, so it shards cleanly even at batch size 1 — the 16-track recipe
+    trains with batch 1).
+
+TP/PP/SP/EP are deliberately absent: the model is ~200M params (fits per
+chip), sequences are handled by windowing (SURVEY.md §5.7), and there are no
+MoE layers. The mesh is the extension point if that changes.
+
+BatchNorm under dp: the jitted step sees the *global* batch, so batch-stat
+reductions are global automatically — equivalent to the reference's
+sync_batchnorm without explicit cross-replica code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "P"]
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    mp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (dp, mp) mesh over the available devices.
+
+    With defaults, all devices go to data parallelism. ICI-adjacent device
+    order (as returned by jax.devices()) keeps dp collectives on-ring.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // mp
+    if dp * mp != n:
+        raise ValueError(f"dp*mp = {dp}*{mp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, ("dp", "mp"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axes: int = 1) -> NamedSharding:
+    """Shard the leading batch axis over dp, replicate everything else."""
+    spec = ("dp",) + (None,) * (ndim - batch_axes)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of batch arrays with the batch axis over dp."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )

@@ -1,0 +1,306 @@
+"""Training system: the Method-1/Method-2 train step as a pure jitted function.
+
+Rebuild of the reference ``System`` LightningModule
+(/root/reference/mst/system.py). The reference's ``common_step`` contains a
+duplicated ref-mix-generation block and a dead param-loss accumulator (see
+SURVEY.md §7 "quirks" 1-2); this implementation is the *effective* behavior,
+implemented once:
+
+  generate ref mix (random console params, no input/output fader)
+  -> peak-normalize -> A/B halving (model sees ref_mix_a = first half and
+  tracks_b = second half; loss compares the render of tracks_b against
+  ref_mix_b = second half)  [system.py:221-263]
+  -> model forward [system.py:267-271] -> console render [system.py:274-292]
+  -> mix loss (scalar or named dict) [system.py:330-352].
+
+Method 2 (``generate_mix=False``, configs/models/unpaired+feat.yaml:4): the
+batch's real reference mix feeds both the model and the loss.
+
+Curriculum staging (active_*_epoch, system.py:123-133) becomes a set of
+*static* effect flags: each stage compiles its own XLA program (<= 5 stages).
+
+The param-loss path (use_param_loss) is implemented *working* (the reference
+wires it but then zeroes it, system.py:314-330); default off for parity.
+
+Parallelism: the step is written global-view. Jit it with dp-sharded batches
+and replicated params (see parallel/mesh.py) and XLA inserts the gradient
+all-reduce over ICI; batch-stat reductions are global (sync-BN semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diffmst_tpu.mixing import naive_random_mix
+from diffmst_tpu.utils.audio import batch_stereo_peak_normalize
+
+__all__ = ["SystemConfig", "EffectFlags", "TrainState", "System", "Batch"]
+
+
+class Batch(NamedTuple):
+    """One training batch (mirrors the dataset item, dataloader.py:419)."""
+
+    tracks: jnp.ndarray  # (bs, max_tracks, seq_len) mono stems
+    instrument_id: jnp.ndarray  # (bs, max_tracks) int32
+    stereo_info: jnp.ndarray  # (bs, max_tracks) int32
+    track_padding: jnp.ndarray  # (bs, max_tracks) bool, True = padded
+    ref_mix: jnp.ndarray  # (bs, 2, seq_len) real reference (Method 2)
+
+
+class EffectFlags(NamedTuple):
+    """Static console toggles for one curriculum stage."""
+
+    use_track_eq: bool = True
+    use_track_compressor: bool = True
+    use_fx_bus: bool = False
+    use_master_bus: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    generate_mix: bool = True
+    use_mix_loss: bool = True
+    use_param_loss: bool = False
+    active_eq_epoch: int = 0
+    active_compressor_epoch: int = 0
+    active_fx_bus_epoch: int = 1000  # fx bus disabled in all shipped configs
+    active_master_bus_epoch: int = 0
+    lr: float = 1e-5
+    max_epochs: int = 800
+    steps_per_epoch: int = 5000  # 20k examples / batch 4
+    schedule: str = "step"  # "step" (MultiStepLR 0.85/0.95, gamma 0.1) | "cosine" | "none"
+    grad_clip: float = 10.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class System:
+    """Wires model + console + mix_fn + loss into jitted train/eval steps."""
+
+    def __init__(
+        self,
+        model,
+        mix_console,
+        loss,
+        config: SystemConfig = SystemConfig(),
+        mix_fn: Callable = naive_random_mix,
+    ):
+        self.model = model
+        self.mix_console = mix_console
+        self.loss = loss
+        self.config = config
+        self.mix_fn = mix_fn
+        self.optimizer = self._make_optimizer()
+        self._train_step_cache: Dict[EffectFlags, Callable] = {}
+
+    # ------------------------------------------------------------ optimizer
+    def _make_optimizer(self) -> optax.GradientTransformation:
+        cfg = self.config
+        total_steps = cfg.max_epochs * cfg.steps_per_epoch
+        if cfg.schedule == "step":
+            lr = optax.piecewise_constant_schedule(
+                cfg.lr,
+                {
+                    int(total_steps * 0.85): 0.1,
+                    int(total_steps * 0.95): 0.1,
+                },
+            )
+        elif cfg.schedule == "cosine":
+            lr = optax.cosine_decay_schedule(cfg.lr, total_steps)
+        else:
+            lr = cfg.lr
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2),
+        )
+
+    # ----------------------------------------------------------- lifecycle
+    def init(self, key: jax.Array, example_batch: Batch) -> TrainState:
+        """Initialize parameters/optimizer from an example batch (on host or
+        a single device; shard/replicate afterwards)."""
+        # Mirror the lengths the step actually feeds the model: with
+        # generate_mix the model sees the second half of the tracks and the
+        # first half of the generated (full-length) ref mix; in Method 2 it
+        # sees full-length tracks and the batch's real ref mix.
+        if self.config.generate_mix:
+            middle = example_batch.tracks.shape[-1] // 2
+            tracks = example_batch.tracks[:1, :2, :middle]
+            ref = example_batch.tracks[:1, :2, :middle]
+        else:
+            tracks = example_batch.tracks[:1, :2]
+            ref = example_batch.ref_mix[:1]
+        mask = example_batch.track_padding[:1, :2]
+        variables = self.model.init(key, tracks, ref, mask)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+    def effect_flags(self, epoch: int) -> EffectFlags:
+        cfg = self.config
+        return EffectFlags(
+            use_track_eq=epoch >= cfg.active_eq_epoch,
+            use_track_compressor=epoch >= cfg.active_compressor_epoch,
+            use_fx_bus=epoch >= cfg.active_fx_bus_epoch,
+            use_master_bus=epoch >= cfg.active_master_bus_epoch,
+        )
+
+    # ---------------------------------------------------------- the step
+    def _common(
+        self,
+        params,
+        batch_stats,
+        batch: Batch,
+        key: jax.Array,
+        flags: EffectFlags,
+        train: bool,
+    ):
+        cfg = self.config
+        k_mix, k_model, k_render = jax.random.split(key, 3)
+        tracks = batch.tracks
+        middle = tracks.shape[-1] // 2
+
+        ref_params = None
+        if cfg.generate_mix:
+            ref = self.mix_fn(
+                tracks,
+                self.mix_console,
+                k_mix,
+                use_track_input_fader=False,  # system.py:235
+                use_track_eq=flags.use_track_eq,
+                use_track_compressor=flags.use_track_compressor,
+                use_fx_bus=flags.use_fx_bus,
+                use_master_bus=flags.use_master_bus,
+                use_output_fader=False,  # system.py:241
+            )
+            ref_mix = batch_stereo_peak_normalize(ref.mix)
+            ref_mix_a = ref_mix[..., :middle]
+            ref_mix_b = ref_mix[..., middle:]
+            tracks_b = tracks[..., middle:]
+            ref_params = (ref.track_params, ref.fx_bus_params, ref.master_bus_params)
+        else:
+            ref_mix_a = batch.ref_mix
+            ref_mix_b = batch.ref_mix
+            tracks_b = tracks
+
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        out = self.model.apply(
+            variables,
+            tracks_b,
+            ref_mix_a,
+            batch.track_padding,
+            train=train,
+            mutable=mutable,
+        )
+        if mutable:
+            (pred_track, pred_fx, pred_master), updates = out
+            new_batch_stats = updates.get("batch_stats", batch_stats)
+        else:
+            pred_track, pred_fx, pred_master = out
+            new_batch_stats = batch_stats
+
+        render = self.mix_console(
+            tracks_b,
+            pred_track,
+            pred_fx,
+            pred_master,
+            use_track_input_fader=True,
+            use_track_eq=flags.use_track_eq,
+            use_track_compressor=flags.use_track_compressor,
+            use_fx_bus=flags.use_fx_bus,
+            use_master_bus=flags.use_master_bus,
+            use_output_fader=True,
+            key=k_render,
+        )
+        pred_mix_b = render.mix
+
+        loss = jnp.zeros(())
+        metrics: Dict[str, jnp.ndarray] = {}
+        if cfg.use_mix_loss:
+            mix_loss = self.loss(pred_mix_b, ref_mix_b)
+            if isinstance(mix_loss, dict):
+                for name, val in mix_loss.items():
+                    v = jnp.mean(val)
+                    loss = loss + v
+                    metrics[name] = v
+            else:
+                loss = loss + mix_loss
+        if cfg.use_param_loss and ref_params is not None:
+            tp, fp, mp = ref_params
+            p_loss = jnp.mean(jnp.square(pred_track - tp))
+            if flags.use_fx_bus:
+                p_loss = p_loss + jnp.mean(jnp.square(pred_fx - fp))
+            if flags.use_master_bus:
+                p_loss = p_loss + jnp.mean(jnp.square(pred_master - mp))
+            loss = loss + p_loss
+            metrics["param_loss"] = p_loss
+
+        metrics["loss"] = loss
+        metrics["ref_mix_nonfinite"] = jnp.sum(~jnp.isfinite(ref_mix_b))
+        metrics["pred_mix_nonfinite"] = jnp.sum(~jnp.isfinite(pred_mix_b))
+        aux = {
+            "metrics": metrics,
+            "batch_stats": new_batch_stats,
+            "pred_mix_b": pred_mix_b,
+            "ref_mix_a": ref_mix_a,
+            "ref_mix_b": ref_mix_b,
+            "pred_params": (pred_track, pred_fx, pred_master),
+        }
+        return loss, aux
+
+    def make_train_step(self, flags: EffectFlags, donate: bool = True) -> Callable:
+        """Build (and cache) the jitted train step for one curriculum stage."""
+        if flags in self._train_step_cache:
+            return self._train_step_cache[flags]
+
+        def train_step(state: TrainState, batch: Batch, key: jax.Array):
+            def loss_fn(params):
+                return self._common(
+                    params, state.batch_stats, batch, key, flags, train=True
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = aux["metrics"]
+            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state = TrainState(
+                new_params, aux["batch_stats"], new_opt, state.step + 1
+            )
+            return new_state, metrics
+
+        fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        self._train_step_cache[flags] = fn
+        return fn
+
+    def make_eval_step(self, flags: EffectFlags) -> Callable:
+        def eval_step(state: TrainState, batch: Batch, key: jax.Array):
+            _, aux = self._common(
+                state.params, state.batch_stats, batch, key, flags, train=False
+            )
+            return aux["metrics"], {
+                "pred_mix_b": aux["pred_mix_b"],
+                "ref_mix_a": aux["ref_mix_a"],
+                "ref_mix_b": aux["ref_mix_b"],
+            }
+
+        return jax.jit(eval_step)

@@ -1,0 +1,153 @@
+"""Checkpointing: orbax save/restore + PyTorch-Lightning checkpoint porting.
+
+Rebuilds two reference capabilities:
+  * Lightning's enable_checkpointing/resume (configs/config.yaml:2-3,11) —
+    here orbax-backed ``save_state``/``restore_state`` over the TrainState.
+  * ``load_diffmst``'s prefix-split state_dict loader
+    (/root/reference/mst/utils.py:224-249) — here ``port_torch_checkpoint``,
+    which maps a Lightning checkpoint's ``model.track_encoder.* /
+    model.mix_encoder.* / model.controller.*`` tensors onto the Flax
+    parameter tree (the console has no weights).
+
+Torch->Flax conventions: Linear kernels transpose; Conv2d (O,I,H,W) ->
+HWIO; torch MultiheadAttention's fused in_proj splits into q/k/v.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "save_state",
+    "restore_state",
+    "port_torch_checkpoint",
+    "port_torch_state_dict",
+]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_state(path: str, state: Any) -> None:
+    """Save a TrainState pytree with orbax."""
+    ckptr = _checkpointer()
+    ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, state), force=True)
+
+
+def restore_state(path: str, target: Any = None) -> Any:
+    """Restore a TrainState pytree (optionally structured like ``target``)."""
+    ckptr = _checkpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), item=target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------- torch port
+
+
+def _set(tree: Dict, path: list, value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = jnp.asarray(value)
+
+
+def _port_cnn14(sd: Dict[str, np.ndarray], prefix: str, out: Dict, base: list):
+    """panns.py Cnn14 tensors -> models/cnn14.py tree (under 'model')."""
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        rest = k[len(prefix):]
+        m = re.match(r"conv_block(\d)\.(conv|bn)(\d)\.(.*)", rest)
+        if m:
+            block, kind, idx, leaf = m.groups()
+            node = base + [f"conv_block{block}"]
+            if kind == "conv":
+                # torch (O, I, 3, 3) -> flax HWIO
+                _set(out, node + [f"conv{idx}", "kernel"], v.transpose(2, 3, 1, 0))
+            else:
+                name = {"weight": "scale", "bias": "bias",
+                        "running_mean": "mean", "running_var": "var"}.get(leaf)
+                if name in ("scale", "bias"):
+                    _set(out, node + [f"bn{idx}", name], v)
+                elif name in ("mean", "var"):
+                    _set(out, ["__batch_stats__"] + node + [f"bn{idx}", name], v)
+        elif rest == "fc.weight":
+            _set(out, base + ["fc", "kernel"], v.T)
+        elif rest == "fc.bias":
+            _set(out, base + ["fc", "bias"], v)
+
+
+def _port_transformer_encoder(sd, prefix: str, out: Dict, base: list, d_model: int):
+    """torch TransformerEncoder layers -> models/transformer.py tree."""
+    layers = sorted(
+        {int(m.group(1)) for k in sd for m in [re.match(
+            re.escape(prefix) + r"layers\.(\d+)\.", k)] if m}
+    )
+    for i in layers:
+        lp = f"{prefix}layers.{i}."
+        node = base + [f"layers_{i}"]
+        w_in = sd[lp + "self_attn.in_proj_weight"]
+        b_in = sd[lp + "self_attn.in_proj_bias"]
+        d = d_model
+        for j, nm in enumerate(["q_proj", "k_proj", "v_proj"]):
+            _set(out, node + [nm, "kernel"], w_in[j * d : (j + 1) * d].T)
+            _set(out, node + [nm, "bias"], b_in[j * d : (j + 1) * d])
+        _set(out, node + ["out_proj", "kernel"], sd[lp + "self_attn.out_proj.weight"].T)
+        _set(out, node + ["out_proj", "bias"], sd[lp + "self_attn.out_proj.bias"])
+        for t, f in [("linear1", "linear1"), ("linear2", "linear2")]:
+            _set(out, node + [f, "kernel"], sd[lp + t + ".weight"].T)
+            _set(out, node + [f, "bias"], sd[lp + t + ".bias"])
+        for t, f in [("norm1", "norm1"), ("norm2", "norm2")]:
+            _set(out, node + [f, "scale"], sd[lp + t + ".weight"])
+            _set(out, node + [f, "bias"], sd[lp + t + ".bias"])
+
+
+def port_torch_state_dict(
+    state_dict: Dict[str, np.ndarray], embed_dim: int = 512
+) -> Dict[str, Any]:
+    """Map a full Lightning state_dict onto the MixStyleTransferModel tree.
+
+    Returns {"params": ..., "batch_stats": ...} matching
+    ``MixStyleTransferModel.build(embed_dim, ...)``'s variable structure.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict[str, Any] = {}
+
+    for enc in ("track_encoder", "mix_encoder"):
+        _port_cnn14(sd, f"model.{enc}.model.", out, [enc, "model"])
+
+    cp = "model.controller."
+    for tok in ("track_embedding", "mix_embedding", "fx_bus_embedding",
+                "master_bus_embedding"):
+        if cp + tok in sd:
+            _set(out, ["controller", tok], sd[cp + tok])  # (1, n, d) both sides
+    _port_transformer_encoder(
+        sd, cp + "transformer_encoder.", out,
+        ["controller", "transformer_encoder"], embed_dim,
+    )
+    for head in ("track_projection", "fx_bus_projection", "master_bus_projection"):
+        if cp + head + ".weight" in sd:
+            _set(out, ["controller", head, "kernel"], sd[cp + head + ".weight"].T)
+            _set(out, ["controller", head, "bias"], sd[cp + head + ".bias"])
+
+    batch_stats = out.pop("__batch_stats__", {})
+    return {"params": out, "batch_stats": batch_stats}
+
+
+def port_torch_checkpoint(ckpt_path: str, embed_dim: int = 512) -> Dict[str, Any]:
+    """Load a Lightning .ckpt (torch.load) and port it (utils.py:224-249)."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
+    return port_torch_state_dict(sd, embed_dim=embed_dim)

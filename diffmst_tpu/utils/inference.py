@@ -1,0 +1,146 @@
+"""Full-song inference: analysis windowing + Hann overlap-add rendering.
+
+Rebuild of ``run_diffmst`` (/root/reference/mst/utils.py:32-173):
+  1. crop a 262,144-sample analysis window from tracks and reference;
+  2. gate tracks below -80 LUFS, loudness-normalize the rest to -48
+     (utils.py:85-101);
+  3. ONE model call on the analysis windows predicts console parameters;
+  4. render the full song with a sliding window (hop = analysis_len/2),
+     Hann-weighted overlap-add, the first window's first half forced to 1
+     (utils.py:123-166).
+
+The window loop renders every window in one batched, jitted console call
+(windows stacked on the batch axis) instead of the reference's Python loop —
+the console is shape-static, so all windows share one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmst_tpu.ops.loudness import integrated_loudness
+from diffmst_tpu.ops.stft import hann_window
+
+__all__ = ["run_diffmst", "overlap_add_render"]
+
+
+def overlap_add_render(
+    render_window: Callable[[jnp.ndarray], jnp.ndarray],
+    tracks: np.ndarray,
+    window_len: int,
+    hop: Optional[int] = None,
+) -> np.ndarray:
+    """Hann-OLA full-length render.
+
+    Args:
+      render_window: (bs, num_tracks, window_len) -> (bs, 2, window_len)
+        batched console render.
+      tracks: (1, num_tracks, total_len) normalized stems (host array).
+      window_len / hop: OLA geometry (reference: 262144 / 131072).
+
+    Returns:
+      (1, 2, total_len) rendered mix (host array).
+    """
+    if hop is None:
+        hop = window_len // 2
+    total = tracks.shape[-1]
+    starts = list(range(0, total, hop))
+
+    # gather all (zero-padded) windows -> one batched render
+    wins = []
+    for s in starts:
+        w = tracks[0, :, s : s + window_len]
+        if w.shape[-1] < window_len:
+            w = np.pad(w, ((0, 0), (0, window_len - w.shape[-1])))
+        wins.append(w)
+    batch = jnp.asarray(np.stack(wins))  # (n_win, num_tracks, window_len)
+    rendered = np.asarray(render_window(batch))  # (n_win, 2, window_len)
+
+    win = hann_window(window_len).astype(np.float32)
+    out = np.zeros((1, 2, total + window_len), np.float32)
+    for i, s in enumerate(starts):
+        w = win if i > 0 else np.concatenate(
+            [np.ones(window_len // 2, np.float32), win[window_len // 2 :]]
+        )
+        out[0, :, s : s + window_len] += rendered[i] * w
+    return out[..., :total]
+
+
+def run_diffmst(
+    tracks: np.ndarray,
+    ref: np.ndarray,
+    model_apply: Callable,
+    mix_console,
+    track_start_idx: int = 0,
+    ref_start_idx: int = 0,
+    analysis_len: int = 262144,
+    sample_rate: float = 44100.0,
+    use_fx_bus: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Tuple[np.ndarray, dict, dict, dict]:
+    """Full-song mix style transfer.
+
+    Args:
+      tracks: (1, num_tracks, total_len) raw mono stems (host array).
+      ref: (1, 2, ref_len) stereo reference mix.
+      model_apply: (tracks, ref_mix) -> (track_params, fx_params, master_params);
+        bind parameters first, e.g.
+        ``lambda t, r: model.apply(variables, t, r)``.
+      mix_console: console instance.
+
+    Returns:
+      (pred_mix (1, 2, total_len), track_param_dict, fx_param_dict,
+       master_param_dict) — denormalized dicts like the reference.
+    """
+    total = tracks.shape[-1]
+    if total >= analysis_len:
+        analysis_tracks = tracks[..., track_start_idx : track_start_idx + analysis_len]
+    else:
+        analysis_tracks = tracks
+    if ref.shape[-1] >= analysis_len:
+        analysis_ref = ref[..., ref_start_idx : ref_start_idx + analysis_len]
+    else:
+        analysis_ref = ref
+
+    # per-track LUFS gate (< -80 skip) + normalize to -48 (utils.py:85-101)
+    keep, norm_tracks, norm_analysis = [], [], []
+    for i in range(tracks.shape[1]):
+        lufs = integrated_loudness(np.asarray(analysis_tracks[0, i]), sample_rate)
+        if not np.isfinite(lufs) or lufs < -80.0:
+            continue
+        g = 10.0 ** ((-48.0 - lufs) / 20.0)
+        keep.append(i)
+        norm_tracks.append(tracks[0, i] * g)
+        norm_analysis.append(analysis_tracks[0, i] * g)
+    if not keep:
+        raise ValueError("all tracks gated out (< -80 LUFS)")
+    norm_tracks = np.stack(norm_tracks)[None]
+    norm_analysis = np.stack(norm_analysis)[None]
+
+    # one model call on the analysis windows
+    tp, fp, mp = model_apply(jnp.asarray(norm_analysis), jnp.asarray(analysis_ref))
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def render_window(wins: jnp.ndarray) -> jnp.ndarray:
+        n = wins.shape[0]
+        out = mix_console(
+            wins,
+            jnp.tile(tp, (n, 1, 1)),
+            jnp.tile(fp, (n, 1)),
+            jnp.tile(mp, (n, 1)),
+            use_fx_bus=use_fx_bus,
+            key=key,
+        )
+        return out.mix
+
+    pred_mix = overlap_add_render(render_window, norm_tracks, analysis_len)
+
+    td, fd, md = mix_console.param_dicts(tp, fp, mp)
+    return pred_mix, td, fd, md

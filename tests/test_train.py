@@ -1,0 +1,137 @@
+"""Training system tests: loss decreases on synthetic data, curriculum
+staging, Method-2 path, dp-sharded step parity with single-device.
+
+The "minimum end-to-end slice" from SURVEY.md §7: small model + console +
+naive_random_mix + MRSTFT, loss decreasing on a jitted step — plus the
+multi-device test the reference never had.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffmst_tpu.console import AdvancedMixConsole
+from diffmst_tpu.losses import AudioFeatureLoss, MultiResolutionSTFTLoss
+from diffmst_tpu.models import MixStyleTransferModel
+from diffmst_tpu.parallel import make_mesh, replicated, shard_batch
+from diffmst_tpu.train import Batch, EffectFlags, System, SystemConfig
+
+SR = 44100.0
+BS, NT, T = 2, 2, 32768  # halves to 16384; hop 128 keeps >=129 STFT frames
+
+
+def small_model():
+    return MixStyleTransferModel.build(
+        embed_dim=64, num_layers=1, nhead=4, n_fft=2048, hop_length=128,
+        cnn_base_width=8
+    )
+
+
+def make_batch(key, bs=BS):
+    k1, k2 = jax.random.split(key)
+    return Batch(
+        tracks=jax.random.normal(k1, (bs, NT, T)) * 10 ** (-48 / 20),
+        instrument_id=jnp.zeros((bs, NT), jnp.int32),
+        stereo_info=jnp.zeros((bs, NT), jnp.int32),
+        track_padding=jnp.zeros((bs, NT), bool),
+        ref_mix=jax.random.normal(k2, (bs, 2, T // 2)) * 0.1,
+    )
+
+
+@pytest.fixture(scope="module")
+def mrstft_system():
+    return System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)),
+        SystemConfig(steps_per_epoch=10, max_epochs=10, lr=1e-4),
+    )
+
+
+def test_train_step_runs_and_loss_decreases(mrstft_system):
+    sys = mrstft_system
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = sys.init(jax.random.PRNGKey(1), batch)
+    flags = sys.effect_flags(0)
+    assert flags == EffectFlags(True, True, False, True)
+    step = sys.make_train_step(flags, donate=False)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))  # fixed ref mix
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert int(metrics["ref_mix_nonfinite"]) == 0
+        assert int(metrics["pred_mix_nonfinite"]) == 0
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_curriculum_flags():
+    sys = System(
+        small_model(), AdvancedMixConsole(SR), MultiResolutionSTFTLoss(),
+        SystemConfig(active_eq_epoch=2, active_compressor_epoch=5,
+                     active_fx_bus_epoch=1000, active_master_bus_epoch=0),
+    )
+    assert sys.effect_flags(0) == EffectFlags(False, False, False, True)
+    assert sys.effect_flags(2) == EffectFlags(True, False, False, True)
+    assert sys.effect_flags(5) == EffectFlags(True, True, False, True)
+    assert sys.effect_flags(1000) == EffectFlags(True, True, True, True)
+
+
+def test_method2_afloss_path():
+    sys = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        AudioFeatureLoss(),
+        SystemConfig(generate_mix=False, steps_per_epoch=10, max_epochs=10),
+    )
+    batch = make_batch(jax.random.PRNGKey(0))
+    # Method 2: ref_mix is used directly; tracks stay full length -> match lengths
+    batch = batch._replace(tracks=batch.tracks[..., : T // 2],
+                           ref_mix=batch.ref_mix)
+    state = sys.init(jax.random.PRNGKey(1), batch._replace(tracks=batch.tracks))
+    step = sys.make_train_step(sys.effect_flags(0), donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # AFLoss returns named components
+    assert any(k.startswith("mix-") for k in metrics)
+
+
+def test_param_loss_path_trains():
+    sys = System(
+        small_model(), AdvancedMixConsole(SR), MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)),
+        SystemConfig(use_param_loss=True, steps_per_epoch=10, max_epochs=10),
+    )
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = sys.init(jax.random.PRNGKey(1), batch)
+    step = sys.make_train_step(sys.effect_flags(0), donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert "param_loss" in metrics and np.isfinite(float(metrics["param_loss"]))
+
+
+def test_dp_sharded_step_matches_single_device(mrstft_system):
+    """Multi-device DP loss parity with single-device (8 virtual CPU devices)."""
+    sys = mrstft_system
+    assert jax.device_count() == 8
+    batch = make_batch(jax.random.PRNGKey(0), bs=8)
+    state = sys.init(jax.random.PRNGKey(1), batch)
+    step = sys.make_train_step(sys.effect_flags(0), donate=False)
+
+    _, metrics_single = step(state, batch, jax.random.PRNGKey(3))
+
+    mesh = make_mesh(dp=8)
+    state_r = jax.device_put(state, replicated(mesh))
+    batch_s = shard_batch(batch, mesh)
+    new_state, metrics_dp = step(state_r, batch_s, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(
+        float(metrics_dp["loss"]), float(metrics_single["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics_dp["grad_norm"]), float(metrics_single["grad_norm"]), rtol=2e-3
+    )
+    # updated params identical across the mesh (replicated) and close to single
+    p1 = jax.tree.leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(p1)).all()
