@@ -344,6 +344,7 @@ class MultitrackDataModule:
         num_workers: int = 0,  # accepted for config parity; loading is inline
         num_train_passes: int = 20,
         num_val_passes: int = 1,
+        num_examples_per_pass: int = 1000,  # dataloader.py:140 fixes this at 1000
         train_buffer_size_gb: float = 2.0,
         val_buffer_size_gb: float = 0.5,
         target_track_lufs_db: float = -48.0,
@@ -388,13 +389,13 @@ class MultitrackDataModule:
         self.train_dataset = MultitrackDataset(
             subset="train",
             buffer_size_gb=train_buffer_size_gb,
-            num_examples_per_epoch=1000 * num_train_passes,
+            num_examples_per_epoch=max(1, num_examples_per_pass * num_train_passes),
             **common,
         )
         self.val_dataset = MultitrackDataset(
             subset="val",
             buffer_size_gb=val_buffer_size_gb,
-            num_examples_per_epoch=1000 * num_val_passes,
+            num_examples_per_epoch=max(1, num_examples_per_pass * num_val_passes),
             **common,
         )
 

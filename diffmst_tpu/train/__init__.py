@@ -1,5 +1,11 @@
 """L4 — training systems."""
 
+from diffmst_tpu.train.param_system import (
+    ParameterEstimationSystem,
+    ParamTrainState,
+    Remixer,
+    band_split_separator,
+)
 from diffmst_tpu.train.system import (
     Batch,
     EffectFlags,
@@ -7,5 +13,17 @@ from diffmst_tpu.train.system import (
     SystemConfig,
     TrainState,
 )
+from diffmst_tpu.train.trainer import Trainer
 
-__all__ = ["Batch", "EffectFlags", "System", "SystemConfig", "TrainState"]
+__all__ = [
+    "Batch",
+    "EffectFlags",
+    "System",
+    "SystemConfig",
+    "TrainState",
+    "Trainer",
+    "ParameterEstimationSystem",
+    "ParamTrainState",
+    "Remixer",
+    "band_split_separator",
+]

@@ -94,13 +94,22 @@ class System:
         model,
         mix_console,
         loss,
-        config: SystemConfig = SystemConfig(),
+        config: Optional[SystemConfig] = None,
         mix_fn: Callable = naive_random_mix,
+        **kwargs,
     ):
+        """Extra keyword arguments use the reference ctor's flat names
+        (generate_mix, active_eq_epoch, lr, max_epochs, schedule, ...;
+        system.py:17-36) and override fields of ``config`` — so the shipped
+        YAML configs instantiate this class directly. Unknown keys are
+        ignored like the reference's **kwargs."""
+        base = dataclasses.asdict(config) if config else {}
+        names = {f.name for f in dataclasses.fields(SystemConfig)}
+        base.update({k: v for k, v in kwargs.items() if k in names})
         self.model = model
         self.mix_console = mix_console
         self.loss = loss
-        self.config = config
+        self.config = SystemConfig(**base)
         self.mix_fn = mix_fn
         self.optimizer = self._make_optimizer()
         self._train_step_cache: Dict[EffectFlags, Callable] = {}

@@ -1,0 +1,191 @@
+"""Training loop: epochs, curriculum staging, metrics, checkpoints, prefetch.
+
+The Lightning-Trainer role of the reference (configs/config.yaml:4-46),
+TPU-native: a plain Python loop around the System's jitted steps.
+
+  * curriculum: one compiled step per effect-flag stage (recompiles only at
+    stage boundaries; <= 5 stages).
+  * async dispatch: steps are dispatched without host sync; metrics are
+    fetched every ``log_every_n_steps`` — the device pipeline stays full
+    while the host collates the next batch (fixing the reference's
+    synchronous once-per-epoch buffer-reload stall is the data side's job).
+  * dp sharding: pass a mesh to shard batches over ``dp`` and replicate
+    state (gradient all-reduce over ICI happens inside the jitted step).
+  * checkpoints: orbax save per epoch + best-val tracking (Lightning
+    enable_checkpointing equivalent); resume via ``fit(resume=path)``.
+  * metrics: steps/sec and audio-realtime-factor meters (the BASELINE
+    instruments) + optional jax.profiler trace of a few steps.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmst_tpu.train.system import Batch, System, TrainState
+from diffmst_tpu.utils.checkpoint import restore_state, save_state
+
+__all__ = ["Trainer"]
+
+
+def _to_batch(raw, device_put: Callable) -> Batch:
+    tracks, stereo, instr, padding, mix, _names = raw
+    return Batch(
+        tracks=device_put(jnp.asarray(tracks)),
+        instrument_id=device_put(jnp.asarray(instr)),
+        stereo_info=device_put(jnp.asarray(stereo)),
+        track_padding=device_put(jnp.asarray(padding)),
+        ref_mix=device_put(jnp.asarray(mix)),
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        system: System,
+        datamodule,
+        max_epochs: Optional[int] = None,
+        ckpt_dir: str = "checkpoints",
+        log_every_n_steps: int = 50,
+        check_val_every_n_epoch: int = 1,
+        callbacks: Optional[List] = None,
+        mesh=None,
+        seed: int = 42,
+        profile_steps: Optional[range] = None,
+        profile_dir: str = "profiles",
+    ) -> None:
+        self.system = system
+        self.datamodule = datamodule
+        self.max_epochs = max_epochs or system.config.max_epochs
+        self.ckpt_dir = ckpt_dir
+        self.log_every_n_steps = log_every_n_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.callbacks = callbacks or []
+        self.mesh = mesh
+        self.seed = seed
+        self.profile_steps = profile_steps
+        self.profile_dir = profile_dir
+        self.history: List[Dict[str, float]] = []
+
+        if mesh is not None:
+            from diffmst_tpu.parallel import batch_sharding, replicated
+
+            self._put_batch = lambda x: jax.device_put(
+                x, batch_sharding(mesh, x.ndim)
+            )
+            self._put_state = lambda s: jax.device_put(s, replicated(mesh))
+        else:
+            self._put_batch = lambda x: x
+            self._put_state = lambda s: s
+
+    # --------------------------------------------------------------- fit
+    def fit(self, resume: Optional[str] = None) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        dm = self.datamodule
+
+        first = next(iter(dm.train_dataloader()))
+        example = _to_batch(first, lambda x: x)
+        if resume:
+            state = self.system.init(key, example)
+            state = restore_state(resume, state)
+            start_epoch = int(state.step) // max(
+                1, self.system.config.steps_per_epoch
+            )
+        else:
+            state = self.system.init(key, example)
+            start_epoch = 0
+        state = self._put_state(state)
+
+        best_val = float("inf")
+        seconds_per_example = example.tracks.shape[-1] / 44100.0
+
+        for epoch in range(start_epoch, self.max_epochs):
+            flags = self.system.effect_flags(epoch)
+            step_fn = self.system.make_train_step(flags)
+            t_epoch = time.time()
+            n_steps = 0
+            window: collections.deque = collections.deque(maxlen=50)
+            pending = None
+
+            for i, raw in enumerate(dm.train_dataloader()):
+                batch = _to_batch(raw, self._put_batch)
+                key, k_step = jax.random.split(key)
+                t0 = time.time()
+                if self.profile_steps and i == self.profile_steps.start:
+                    jax.profiler.start_trace(self.profile_dir)
+                state, metrics = step_fn(state, batch, k_step)
+                if self.profile_steps and i == self.profile_steps.stop:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                n_steps += 1
+                if (i + 1) % self.log_every_n_steps == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    window.append(time.time() - t0)
+                    sps = 1.0 / (sum(window) / len(window))
+                    bs = batch.tracks.shape[0]
+                    host.update(
+                        epoch=epoch,
+                        steps_per_sec=sps,
+                        realtime_factor=sps * bs * seconds_per_example,
+                    )
+                    self.history.append(host)
+                    self._log("train", host)
+                else:
+                    window.append(time.time() - t0)
+                pending = metrics
+
+            if pending is not None:
+                jax.block_until_ready(pending["loss"])
+            epoch_time = time.time() - t_epoch
+
+            # ------------------------------------------------------- val
+            val_metrics: Dict[str, float] = {}
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                eval_fn = self.system.make_eval_step(flags)
+                agg: Dict[str, list] = collections.defaultdict(list)
+                audio = None
+                for raw in dm.val_dataloader():
+                    batch = _to_batch(raw, self._put_batch)
+                    key, k_step = jax.random.split(key)
+                    metrics, audio = eval_fn(state, batch, k_step)
+                    for k, v in metrics.items():
+                        agg[k].append(float(v))
+                val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+                self._log("val", {**val_metrics, "epoch": epoch})
+                for cb in self.callbacks:
+                    if hasattr(cb, "on_validation_end") and audio is not None:
+                        cb.on_validation_end(epoch, state, audio, val_metrics)
+
+            # ----------------------------------------------------- ckpt
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            save_state(os.path.join(self.ckpt_dir, "last"), state)
+            if val_metrics.get("loss", float("inf")) < best_val:
+                best_val = val_metrics["loss"]
+                save_state(os.path.join(self.ckpt_dir, "best"), state)
+
+            self._log(
+                "epoch",
+                {
+                    "epoch": epoch,
+                    "steps": n_steps,
+                    "epoch_seconds": epoch_time,
+                    **{f"val/{k}": v for k, v in val_metrics.items()},
+                },
+            )
+        return state
+
+    def _log(self, tag: str, metrics: Dict[str, float]) -> None:
+        parts = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in metrics.items()
+        )
+        print(f"[{tag}] {parts}", flush=True)
+        for cb in self.callbacks:
+            if hasattr(cb, "on_log"):
+                cb.on_log(tag, metrics)

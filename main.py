@@ -1,0 +1,94 @@
+"""CLI: train/validate from overlaid YAML configs.
+
+Mirrors the reference's LightningCLI surface (/root/reference/main.py,
+README.md:84-110):
+
+    python main.py fit -c configs/config.yaml -c configs/optimizer.yaml \
+        -c configs/data/medley+cambridge-8.yaml -c configs/models/naive.yaml
+
+Reference class_path YAMLs load unchanged (aliases in
+diffmst_tpu/utils/config.py map ``mst.*``/``auraloss.*`` onto this
+framework). Trainer flags come from the ``trainer:`` section; the optimizer
+section maps onto System's lr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build_from_config(cfg: dict):
+    from diffmst_tpu.callbacks import CSVLogger
+    from diffmst_tpu.train import System, Trainer
+    from diffmst_tpu.utils.config import instantiate
+
+    model_cfg = cfg.get("model", {})
+    init_args = dict(model_cfg.get("init_args", model_cfg))
+
+    model = instantiate(init_args.pop("model"))
+    mix_console = instantiate(init_args.pop("mix_console"))
+    loss = instantiate(init_args.pop("loss"))
+    mix_fn = instantiate(init_args.pop("mix_fn", "mst.mixing.naive_random_mix"))
+
+    trainer_cfg = dict(cfg.get("trainer", {}))
+    opt_cfg = cfg.get("optimizer", {}).get("init_args", {})
+    if "lr" in opt_cfg:
+        init_args.setdefault("lr", opt_cfg["lr"])
+    if "max_epochs" in trainer_cfg:
+        init_args.setdefault("max_epochs", trainer_cfg["max_epochs"])
+
+    system = System(model, mix_console, loss, mix_fn=mix_fn, **init_args)
+
+    data_cfg = cfg.get("data")
+    datamodule = instantiate(data_cfg) if data_cfg else None
+
+    callbacks = [CSVLogger()]
+    for cb in trainer_cfg.get("callbacks", []) or []:
+        try:
+            callbacks.append(instantiate(cb))
+        except (ImportError, AttributeError, TypeError):
+            pass  # reference-only callbacks (ModelSummary etc.) are cosmetic
+
+    trainer = Trainer(
+        system,
+        datamodule,
+        max_epochs=trainer_cfg.get("max_epochs"),
+        ckpt_dir=trainer_cfg.get("default_root_dir") or "checkpoints",
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
+        check_val_every_n_epoch=trainer_cfg.get("check_val_every_n_epoch", 1),
+        callbacks=callbacks,
+        seed=cfg.get("seed_everything", 42),
+    )
+    return system, datamodule, trainer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="diffmst_tpu trainer")
+    parser.add_argument("command", choices=["fit", "validate"])
+    parser.add_argument(
+        "-c", "--config", action="append", required=True,
+        help="YAML config (repeatable; later files overlay earlier)",
+    )
+    parser.add_argument("--ckpt_path", default=None, help="resume checkpoint")
+    args = parser.parse_args(argv)
+
+    from diffmst_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    print(f"devices: {jax.devices()}")
+    system, datamodule, trainer = build_from_config(cfg)
+    if datamodule is None:
+        raise SystemExit("config has no `data:` section")
+
+    if args.command == "fit":
+        trainer.fit(resume=args.ckpt_path)
+    else:
+        trainer.max_epochs = 0  # validate once via fit's val loop
+        trainer.fit(resume=args.ckpt_path)
+
+
+if __name__ == "__main__":
+    main()
