@@ -1,0 +1,97 @@
+"""Knowledge-engineering mixing tests (synthetic KE dict, reference schema)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffmst_tpu.console import AdvancedMixConsole
+from diffmst_tpu.mixing import knowledge_engineering_mix
+
+SR = 44100.0
+
+
+def _ke_dict():
+    eq = {k: [0.0, 0.0] for k in [
+        "eq_lowshelf_gain", "eq_band0_gain", "eq_band1_gain",
+        "eq_band2_gain", "eq_band3_gain", "eq_highshelf_gain"]}
+    eq.update({
+        "eq_lowshelf_freq": [50, 200], "eq_lowshelf_q": [1.0, 2.0],
+        "eq_band0_freq": [150, 500], "eq_band0_q": [1.0, 1.0],
+        "eq_band1_freq": [2000, 8000], "eq_band1_q": [1.0, 5.0],
+        "eq_band2_freq": [8000, 12000], "eq_band2_q": [1.0, 1.0],
+        "eq_band3_freq": [12000, 12000], "eq_band3_q": [1.0, 5.0],
+        "eq_highshelf_freq": [6000, 10000], "eq_highshelf_q": [1.0, 2.0],
+    })
+    comp = {"threshold_db": [-23.0, -20.0], "ratio": [1.0, 4.0],
+            "attack_ms": [10.0, 100.0], "release_ms": [10.0, 100.0],
+            "knee_db": [3.0, 5.0], "makeup_gain_db": [2.0, 5.0]}
+    return {
+        "bass_drum": {"instruments": ["kick", "bass drum"],
+                      "gain": [-13.0, -11.0], "pan": [0.5, 0.5],
+                      "eq": eq, "compressor": comp},
+        "vox": {"instruments": ["vocals"], "gain": [-6.0, -6.0],
+                "pan": [0.5, 0.5], "eq": eq, "compressor": comp},
+        "fx_bus": {"instruments": ["fx_bus_console"],
+                   "reverb_gain": {f"band_{i}": [0.0, 1.0] for i in range(12)},
+                   "reverb_decay": {f"band_{i}": [0.0, 1.0] for i in range(12)},
+                   "mix": [0.0, 1.0], "send_db": [-80.0, 12.0]},
+        "master_bus": {"instruments": ["master_bus_console"], "eq": eq,
+                       "compressor": comp,
+                       "fader": {"gain_db": [-10.0, 0.0]}},
+    }
+
+
+def test_ke_mix_renders_and_params_in_range():
+    console = AdvancedMixConsole(SR)
+    bs, nt, t = 2, 4, 16384
+    tracks = jax.random.normal(jax.random.PRNGKey(0), (bs, nt, t)) * 0.05
+    name2id = {"kick": 1, "vocals": 2, "bass": 3}
+    iid = np.array([[1, 2, 1, 2], [2, 1, 2, 1]])
+    out = knowledge_engineering_mix(
+        tracks, console,
+        instrument_id=iid, stereo_id=np.zeros((bs, nt), int),
+        instrument_number_file=name2id, ke_dict=_ke_dict(),
+        use_fx_bus=False, seed=3,
+    )
+    assert out.mix.shape == (bs, 2, t)
+    assert np.isfinite(np.asarray(out.mix)).all()
+    for p in (out.track_params, out.fx_bus_params, out.master_bus_params):
+        a = np.asarray(p)
+        assert (a >= 0).all() and (a <= 1).all()
+    # kick gain sampled within [-13, -11] dB -> check denormalized value
+    g = np.asarray(out.track_param_dict["input_fader"]["gain_db"])
+    kick_positions = iid == 1
+    assert ((g[kick_positions] >= -13.01) & (g[kick_positions] <= -10.99)).all()
+
+
+def test_ke_stereo_pair_mirrored_pan():
+    console = AdvancedMixConsole(SR)
+    bs, nt, t = 1, 4, 8192
+    tracks = jax.random.normal(jax.random.PRNGKey(1), (bs, nt, t)) * 0.05
+    ke = _ke_dict()
+    ke["gtr"] = {"instruments": ["guitar"], "gain": [-9.0, -9.0],
+                 "pan": [0.1, 0.4], "eq": ke["vox"]["eq"],
+                 "compressor": ke["vox"]["compressor"]}
+    name2id = {"guitar": 7}
+    iid = np.full((bs, nt), 7)
+    stereo = np.array([[1, 0, 0, 0]])  # tracks 0/1 form a stereo pair
+    out = knowledge_engineering_mix(
+        tracks, console, instrument_id=iid, stereo_id=stereo,
+        instrument_number_file=name2id, ke_dict=ke, use_fx_bus=False, seed=0,
+    )
+    pan = np.asarray(out.track_param_dict["stereo_panner"]["pan"])[0]
+    np.testing.assert_allclose(pan[0] + pan[1], 1.0, atol=1e-6)
+    assert 0.1 <= pan[0] <= 0.4
+
+
+def test_ke_unknown_instrument_uses_default():
+    console = AdvancedMixConsole(SR)
+    tracks = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8192)) * 0.05
+    out = knowledge_engineering_mix(
+        tracks, console, instrument_id=np.array([[99, 99]]),
+        stereo_id=np.zeros((1, 2), int),
+        instrument_number_file={"theremin": 42}, ke_dict=_ke_dict(),
+        use_fx_bus=False,
+    )
+    g = np.asarray(out.track_param_dict["input_fader"]["gain_db"])
+    assert ((g >= -12.01) & (g <= -5.99)).all()
