@@ -32,6 +32,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 import yaml
 
+from diffmst_tpu.data import native as _native
 from diffmst_tpu.data.audio_io import audio_info, read_audio
 from diffmst_tpu.ops.loudness import integrated_loudness
 
@@ -151,17 +152,15 @@ class MultitrackDataset:
         for p, instrument in paths:
             if len(out_tracks) >= self.max_tracks:
                 break
-            try:
-                audio, _ = read_audio(p, start=offset, frames=self.length)
-            except (OSError, ValueError):
+            # fused native decode + BS.1770 measure + normalize (one pass;
+            # falls back to scipy+NumPy without the compiled core)
+            audio, lufs, _sr = _native.load_normalized(
+                p, offset, self.length, self.target_track_lufs_db
+            )
+            if audio is None or audio.shape[-1] != self.length or audio.shape[0] > 2:
                 continue
-            if audio.shape[-1] != self.length or audio.shape[0] > 2:
-                continue
-            lufs = integrated_loudness(audio.T, 44100.0)
             if not np.isfinite(lufs) or lufs < self.min_track_lufs_db:
                 continue  # too quiet (dataloader.py:311)
-            gain = 10.0 ** ((self.target_track_lufs_db - lufs) / 20.0)
-            audio = audio * gain
             iid = self.instrument_name2id.get(instrument, 0)
             if audio.shape[0] == 2:  # stereo -> two mono tracks
                 out_tracks.append(audio[0])
@@ -362,12 +361,22 @@ class MultitrackDataModule:
             with open(instrument_name2id_json) as f:
                 name2id = json.load(f)
 
-        try:
-            import jax
+        # Per-host sharding indices. Never force device-backend init from
+        # the host-side data pipeline (axon TPU init can block); only use an
+        # already-initialized backend, explicit env vars, or defaults.
+        import os as _os
 
-            pidx, pcnt = jax.process_index(), jax.process_count()
+        pidx = int(_os.environ.get("DIFFMST_PROCESS_INDEX", 0))
+        pcnt = int(_os.environ.get("DIFFMST_PROCESS_COUNT", 1))
+        try:
+            from jax._src import xla_bridge as _xb
+
+            if _xb.backends_are_initialized():
+                import jax
+
+                pidx, pcnt = jax.process_index(), jax.process_count()
         except Exception:
-            pidx, pcnt = 0, 1
+            pass
 
         common = dict(
             track_root_dirs=track_root_dirs,
