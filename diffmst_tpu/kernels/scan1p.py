@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: first-order linear recurrence (one-pole) scan.
+
+Computes y[n] = a * y[n-1] + b[n] along time for a batch of signals — the
+compressor's ballistics smoother (ops/compressor.py) and the building block
+for exact IIR on TPU.
+
+Why a kernel: XLA's ``associative_scan`` runs log2(T) (~18 for T=262144)
+elementwise passes with HBM round-trips between them. This kernel streams
+the signal once: the grid walks time-chunks sequentially (TPU grids execute
+in order), each chunk does a Hillis-Steele scan entirely in VMEM (log2(C)
+register passes), and a (1, lanes) carry in VMEM scratch links chunks. HBM
+traffic = read b + write y — optimal.
+
+Layout: time on sublanes, batch on lanes — (T, B) blocks of (CHUNK, 128).
+
+The public ``onepole_scan(g, alpha)`` computes the smoother form
+y[n] = a y[n-1] + (1-a) g[n] with a custom VJP (the adjoint of a one-pole is
+the same one-pole run backwards in time, so the backward pass reuses the
+kernel; d alpha accumulates sum_n s[n] * (y[n-1] - g[n])).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["onepole_core", "onepole_scan"]
+
+_LANES = 128
+
+
+def _scan_kernel(chunk: int):
+    """Kernel: one (chunk, 128) time-block of y[n] = a*y[n-1] + b[n]."""
+
+    def kernel(a_ref, b_ref, out_ref, carry_ref):
+        # grid = (groups, time_chunks): time is the minor axis so all chunks
+        # of one lane-group run consecutively; reset the carry per group.
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            carry_ref[...] = jnp.zeros_like(carry_ref)
+
+        a_row = a_ref[...]  # (1, 128) per-signal coefficient
+        b = b_ref[...]  # (chunk, 128)
+        # per-row transition A[i] = a (constant over time) and load B[i] = b[i]
+        A = jnp.broadcast_to(a_row, b.shape)
+        B = b
+        # Hillis-Steele inclusive scan of (A, B) composition down the sublanes
+        d = 1
+        while d < chunk:
+            # left-shifted-by-d predecessors; identity element (A=1, B=0) fills
+            A_prev = jnp.concatenate(
+                [jnp.ones((d, b.shape[1]), A.dtype), A[:-d]], axis=0
+            )
+            B_prev = jnp.concatenate(
+                [jnp.zeros((d, b.shape[1]), B.dtype), B[:-d]], axis=0
+            )
+            B = A * B_prev + B
+            A = A * A_prev
+            d *= 2
+        # inject the carry (state entering this chunk): y = B + A * y_in
+        y = B + A * carry_ref[...]
+        out_ref[...] = y
+        carry_ref[...] = y[-1:, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def onepole_core(
+    b: jnp.ndarray,
+    alpha: jnp.ndarray,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[n] = alpha * y[n-1] + b[n] over the last axis. b: (B, T), alpha: (B,)."""
+    bs, t = b.shape
+    # lanes = batch (padded to 128), sublanes = time
+    b_pad = (-bs) % _LANES
+    t_pad = (-t) % chunk
+    x = jnp.pad(b, ((0, b_pad), (0, t_pad))).T  # (T', B')
+    a = jnp.pad(alpha, (0, b_pad))[None, :]  # (1, B')
+    tp, bp = x.shape
+
+    groups = bp // _LANES
+    grid = (groups, tp // chunk)
+    y = pl.pallas_call(
+        _scan_kernel(chunk),
+        out_shape=jax.ShapeDtypeStruct((tp, bp), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _LANES), lambda j, i: (0, j)),
+            pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((1, _LANES), x.dtype)],
+        interpret=interpret,
+    )(a, x)
+    return y.T[:bs, :t]
+
+
+# ------------------------------------------------------------- smoother VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def onepole_scan(
+    g: jnp.ndarray, alpha: jnp.ndarray, chunk: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """Smoother y[n] = a y[n-1] + (1-a) g[n] with a kernel-backed VJP."""
+    return onepole_core((1.0 - alpha)[:, None] * g, alpha, chunk, interpret)
+
+
+def _fwd(g, alpha, chunk, interpret):
+    y = onepole_core((1.0 - alpha)[:, None] * g, alpha, chunk, interpret)
+    return y, (g, alpha, y)
+
+
+def _bwd(chunk, interpret, res, dy):
+    g, alpha, y = res
+    # adjoint state: s[n] = dy[n] + a * s[n+1]  (reverse-time one-pole)
+    s = onepole_core(dy[:, ::-1], alpha, chunk, interpret)[:, ::-1]
+    dg = (1.0 - alpha)[:, None] * s
+    # dalpha = sum_n s[n] * (y[n-1] - g[n])
+    y_prev = jnp.concatenate([jnp.zeros_like(y[:, :1]), y[:, :-1]], axis=1)
+    dalpha = jnp.sum(s * (y_prev - g), axis=-1)
+    return dg, dalpha
+
+
+onepole_scan.defvjp(_fwd, _bwd)
