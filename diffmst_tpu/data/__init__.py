@@ -2,6 +2,7 @@
 
 from diffmst_tpu.data.audio_io import audio_info, read_audio, write_audio
 from diffmst_tpu.data.dataset import (
+    MixDataModule,
     MixDataset,
     MultitrackDataModule,
     MultitrackDataset,
@@ -12,6 +13,7 @@ __all__ = [
     "audio_info",
     "read_audio",
     "write_audio",
+    "MixDataModule",
     "MixDataset",
     "MultitrackDataModule",
     "MultitrackDataset",

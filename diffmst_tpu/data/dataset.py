@@ -36,7 +36,7 @@ from diffmst_tpu.data import native as _native
 from diffmst_tpu.data.audio_io import audio_info, read_audio
 from diffmst_tpu.ops.loudness import integrated_loudness
 
-__all__ = ["TrackExample", "MultitrackDataset", "MixDataset", "MultitrackDataModule"]
+__all__ = ["TrackExample", "MultitrackDataset", "MixDataset", "MixDataModule", "MultitrackDataModule"]
 
 
 @dataclasses.dataclass
@@ -431,4 +431,43 @@ class MultitrackDataModule:
         return self._iterate(self.train_dataset)
 
     def val_dataloader(self) -> Iterator[Tuple]:
+        return self._iterate(self.val_dataset)
+
+
+class MixDataModule:
+    """Batched mixes for parameter-estimation pretraining (dataloader.py:423+)."""
+
+    def __init__(
+        self,
+        root_dirs: Sequence[str],
+        metadata_files: Sequence[str],
+        length: int = 262144,
+        batch_size: int = 4,
+        num_examples_per_epoch: int = 10000,
+        target_lufs_db: float = -16.0,
+        seed: int = 0,
+        **_unused,
+    ) -> None:
+        self.batch_size = batch_size
+        self.train_dataset = MixDataset(
+            root_dirs, metadata_files, length, "train",
+            num_examples_per_epoch, target_lufs_db, seed,
+        )
+        self.val_dataset = MixDataset(
+            root_dirs, metadata_files, length, "val",
+            max(1, num_examples_per_epoch // 10), target_lufs_db, seed + 1,
+        )
+
+    def _iterate(self, ds: MixDataset) -> Iterator[np.ndarray]:
+        batch = []
+        for i in range(len(ds)):
+            batch.append(ds[i])
+            if len(batch) == self.batch_size:
+                yield np.stack(batch)
+                batch = []
+
+    def train_dataloader(self) -> Iterator[np.ndarray]:
+        return self._iterate(self.train_dataset)
+
+    def val_dataloader(self) -> Iterator[np.ndarray]:
         return self._iterate(self.val_dataset)

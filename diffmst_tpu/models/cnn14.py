@@ -27,6 +27,8 @@ class ConvBlock(nn.Module):
     use_batchnorm: bool = True
     pool_type: str = "avg"
     bn_axis_name: Optional[str] = None
+    # computation dtype; params stay float32 (mixed precision on the MXU)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pool_size: Tuple[int, int], train: bool = False):
@@ -38,6 +40,7 @@ class ConvBlock(nn.Module):
                 padding="SAME",
                 use_bias=False,
                 kernel_init=nn.initializers.xavier_uniform(),
+                dtype=self.dtype,
                 name=f"conv{i + 1}",
             )(x)
             if self.use_batchnorm:
@@ -46,6 +49,7 @@ class ConvBlock(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     axis_name=self.bn_axis_name if train else None,
+                    dtype=self.dtype,
                     name=f"bn{i + 1}",
                 )(x)
             x = nn.relu(x)
@@ -67,6 +71,7 @@ class Cnn14(nn.Module):
     n_inputs: int = 1
     use_batchnorm: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
     # Width of the first block; the reference is 64 (doubling per block to
     # 2048). Smaller values give architecture-faithful but cheap models for
     # tests and multi-chip dry runs.
@@ -88,11 +93,14 @@ class Cnn14(nn.Module):
                 f"for its pool schedule; got {x.shape[1:3]}. Use n_fft >= 2048 "
                 f"and seq_len >= 128 * hop_length."
             )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, pool in enumerate(self._POOLS):
             x = ConvBlock(
                 self.base_width << i,
                 use_batchnorm=self.use_batchnorm,
                 bn_axis_name=self.bn_axis_name,
+                dtype=self.dtype,
                 name=f"conv_block{i + 1}",
             )(x, pool, train=train)
         # mean across frequency bins (torch dim=2 == our axis 1)
@@ -102,6 +110,7 @@ class Cnn14(nn.Module):
         x = nn.Dense(
             self.num_classes,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
             name="fc",
         )(x)
-        return x
+        return x.astype(jnp.float32)

@@ -29,6 +29,7 @@ class TransformerController(nn.Module):
     # accepted for config parity with the reference ctor (unused there too)
     use_fx_bus: bool = False
     use_master_bus: bool = False
+    dtype: Optional[jnp.dtype] = None  # computation dtype
 
     @nn.compact
     def __call__(
@@ -76,6 +77,7 @@ class TransformerController(nn.Module):
             d_model=d,
             nhead=self.nhead,
             num_layers=self.num_layers,
+            dtype=self.dtype,
             name="transformer_encoder",
         )(seq, key_padding_mask=pad, train=train)
 

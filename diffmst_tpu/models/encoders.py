@@ -35,6 +35,7 @@ class SpectrogramEncoder(nn.Module):
     spec_power: float = 0.3
     spec_eps: float = 1e-8
     cnn_base_width: int = 64
+    dtype: Optional[jnp.dtype] = None  # computation dtype for the CNN
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -59,6 +60,7 @@ class SpectrogramEncoder(nn.Module):
             use_batchnorm=self.encoder_batchnorm,
             bn_axis_name=self.bn_axis_name,
             base_width=self.cnn_base_width,
+            dtype=self.dtype,
             name="model",
         )(mag, train=train)
 

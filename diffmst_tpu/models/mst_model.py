@@ -81,8 +81,14 @@ class MixStyleTransferModel(nn.Module):
         sum_and_diff: bool = False,
         bn_axis_name: Optional[str] = None,
         cnn_base_width: int = 64,
+        compute_dtype: Optional[str] = None,
     ) -> "MixStyleTransferModel":
-        """The shipped configuration (configs/models/naive.yaml:30-52)."""
+        """The shipped configuration (configs/models/naive.yaml:30-52).
+
+        ``compute_dtype="bfloat16"`` runs convs/matmuls in bf16 on the MXU
+        (params and normalization statistics stay float32).
+        """
+        dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         return MixStyleTransferModel(
             track_encoder=SpectrogramEncoder(
                 embed_dim=embed_dim,
@@ -90,6 +96,7 @@ class MixStyleTransferModel(nn.Module):
                 hop_length=hop_length,
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
+                dtype=dtype,
             ),
             mix_encoder=SpectrogramEncoder(
                 embed_dim=embed_dim,
@@ -97,6 +104,7 @@ class MixStyleTransferModel(nn.Module):
                 hop_length=hop_length,
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
+                dtype=dtype,
             ),
             controller=TransformerController(
                 embed_dim=embed_dim,
@@ -105,6 +113,7 @@ class MixStyleTransferModel(nn.Module):
                 num_master_bus_control_params=num_master_bus_control_params,
                 num_layers=num_layers,
                 nhead=nhead,
+                dtype=dtype,
             ),
             sum_and_diff=sum_and_diff,
         )

@@ -28,6 +28,7 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 2048
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # computation dtype (LayerNorm stays f32)
 
     @nn.compact
     def __call__(
@@ -41,9 +42,9 @@ class TransformerEncoderLayer(nn.Module):
         h = self.nhead
         hd = d // h
 
-        q = nn.Dense(d, name="q_proj")(x)
-        k = nn.Dense(d, name="k_proj")(x)
-        v = nn.Dense(d, name="v_proj")(x)
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
 
         def split(t):
             return t.reshape(bs, seq, h, hd).transpose(0, 2, 1, 3)
@@ -56,13 +57,14 @@ class TransformerEncoderLayer(nn.Module):
         attn = nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(bs, seq, d)
-        ctx = nn.Dense(d, name="out_proj")(ctx)
+        ctx = nn.Dense(d, dtype=self.dtype, name="out_proj")(ctx)
+        ctx = ctx.astype(x.dtype)
 
         # post-norm residual blocks (torch default norm_first=False)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + ctx)
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         ff = nn.relu(ff)
-        ff = nn.Dense(d, name="linear2")(ff)
+        ff = nn.Dense(d, dtype=self.dtype, name="linear2")(ff).astype(x.dtype)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
         return x
 
@@ -73,6 +75,7 @@ class TransformerEncoder(nn.Module):
     num_layers: int
     dim_feedforward: int = 2048
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -87,6 +90,7 @@ class TransformerEncoder(nn.Module):
                 self.nhead,
                 self.dim_feedforward,
                 self.dropout,
+                dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, key_padding_mask=key_padding_mask, train=train)
         return x

@@ -43,7 +43,7 @@ CLASS_ALIASES: Dict[str, str] = {
         "diffmst_tpu.losses.MultiResolutionSTFTLoss"
     ),
     "mst.dataloader.MultitrackDataModule": "diffmst_tpu.data.MultitrackDataModule",
-    "mst.dataloader.MixDataModule": "diffmst_tpu.data.MixDataset",
+    "mst.dataloader.MixDataModule": "diffmst_tpu.data.MixDataModule",
     "mst.mixing.naive_random_mix": "diffmst_tpu.mixing.naive_random_mix",
     "mst.mixing.knowledge_engineering_mix": (
         "diffmst_tpu.mixing.knowledge_engineering_mix"

@@ -156,3 +156,18 @@ def test_waveform_transformer_encoder():
     vars_ = enc.init(jax.random.PRNGKey(1), x)
     z = enc.apply(vars_, x)
     assert z.shape == (2, 256)
+
+
+def test_bf16_compute_close_to_f32():
+    """bf16 mixed-precision model stays close to the f32 model (params shared)."""
+    kwargs = dict(embed_dim=32, num_layers=1, nhead=4, n_fft=2048,
+                  hop_length=128, cnn_base_width=4)
+    m32 = models.MixStyleTransferModel.build(**kwargs)
+    m16 = models.MixStyleTransferModel.build(**kwargs, compute_dtype="bfloat16")
+    tracks = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16384)) * 0.1
+    ref = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16384)) * 0.1
+    v = m32.init(jax.random.PRNGKey(2), tracks, ref)
+    tp32, _, _ = m32.apply(v, tracks, ref)
+    tp16, _, _ = m16.apply(v, tracks, ref)  # same params, bf16 compute
+    assert tp16.dtype == jnp.float32  # outputs cast back
+    assert np.abs(np.asarray(tp32) - np.asarray(tp16)).max() < 0.05

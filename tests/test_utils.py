@@ -155,3 +155,51 @@ def test_torch_checkpoint_port_roundtrip():
         bt = sd["model.controller.track_projection.bias"]
         ref_tp = torch.sigmoid(z[:, :3, :] @ wt.T + bt).numpy()
     np.testing.assert_allclose(np.asarray(ours_tp), ref_tp, atol=3e-5)
+
+
+def test_cnn14_torch_port_numerical():
+    """Port a torch Cnn14 state dict and check numerical forward parity."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from diffmst_tpu.models import Cnn14
+    from diffmst_tpu.utils.checkpoint import port_torch_state_dict
+
+    # Single conv block torch-side (bn in eval mode with random stats)
+    tconv1 = torch.nn.Conv2d(1, 8, 3, padding=1, bias=False)
+    tbn1 = torch.nn.BatchNorm2d(8)
+    tconv2 = torch.nn.Conv2d(8, 8, 3, padding=1, bias=False)
+    tbn2 = torch.nn.BatchNorm2d(8)
+    with torch.no_grad():
+        for bn in (tbn1, tbn2):
+            bn.running_mean.normal_(0, 0.1)
+            bn.running_var.uniform_(0.5, 1.5)
+            bn.weight.normal_(1, 0.1)
+            bn.bias.normal_(0, 0.1)
+    tbn1.eval(), tbn2.eval()
+
+    sd = {}
+    for name, mod in [("conv1", tconv1), ("bn1", tbn1), ("conv2", tconv2), ("bn2", tbn2)]:
+        for k, v in mod.state_dict().items():
+            if k == "num_batches_tracked":
+                continue
+            sd[f"model.track_encoder.model.conv_block1.{name}.{k}"] = v.numpy()
+
+    ported = port_torch_state_dict(sd, embed_dim=8)
+    blk = ported["params"]["track_encoder"]["model"]["conv_block1"]
+    stats = ported["batch_stats"]["track_encoder"]["model"]["conv_block1"]
+
+    from diffmst_tpu.models.cnn14 import ConvBlock
+
+    x = np.random.default_rng(0).normal(size=(1, 8, 16, 1)).astype(np.float32)
+    flax_blk = ConvBlock(out_channels=8)
+    out = flax_blk.apply(
+        {"params": blk, "batch_stats": stats}, jnp.asarray(x), (2, 2), train=False
+    )
+    with torch.no_grad():
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NHWC -> NCHW
+        ty = F.relu(tbn1(tconv1(tx)))
+        ty = F.relu(tbn2(tconv2(ty)))
+        ty = F.avg_pool2d(ty, (2, 2))
+        ref = np.transpose(ty.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
