@@ -5,20 +5,53 @@ chip, target >= 50x realtime @ 44.1 kHz. Measures the full differentiable
 console (input fader -> 6-band EQ -> compressor(lookahead 2048) -> pan ->
 stereo sum -> master EQ/comp/fader) at the reference profiler shape
 (8 tracks x 262,144 samples, tests/test_profile.py:35-44) with gradients
-w.r.t. all console parameters.
+w.r.t. all console parameters. A second metric times the full Method-1
+training step (model fwd + console render + MRSTFT + backward + Adam) at the
+reference 8-track recipe shape (batch 4 x 8 tracks x 262,144).
+
+Hardened for the axon tunnel (which is sometimes wedged for tens of minutes):
+
+  * liveness probe: ``jax.devices()`` in a SUBPROCESS with a timeout, so a
+    wedged tunnel cannot hang this process;
+  * retry with backoff until ``BENCH_DEADLINE_S`` (default 1500 s) elapses;
+  * results are persisted to ``bench_result.json`` the moment a run succeeds;
+    if all live attempts fail but a persisted result from earlier in the
+    session exists, it is printed (marked ``"stale": true``) instead of
+    failing with rc != 0.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N/50}
+  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N/50, ...}
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+RESULT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "75"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
 
 
-def main():
+def probe_devices(timeout_s: float) -> bool:
+    """True iff a fresh process can enumerate jax devices within timeout."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s,
+            capture_output=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return proc.returncode == 0 and proc.stdout.strip().isdigit()
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def bench_console(jax, jnp):
+    """Console fwd+bwd realtime factor at the reference profiler shape."""
     from diffmst_tpu.console import AdvancedMixConsole
 
     sr = 44100.0
@@ -56,27 +89,130 @@ def main():
         return jax.lax.fori_loop(0, K, body, (tp, mp))
 
     jax.block_until_ready(bench_k(tp, mp, tracks))  # compile + warm
-    reps = 5
     times = []
-    for _ in range(reps):
+    for _ in range(5):
         t0 = time.perf_counter()
         jax.block_until_ready(bench_k(tp, mp, tracks))
         times.append((time.perf_counter() - t0) / K)
     per_step = min(times)
+    return (bs * seq_len / sr) / per_step
 
-    audio_seconds = bs * seq_len / sr
-    realtime_factor = audio_seconds / per_step
-    print(
-        json.dumps(
-            {
-                "metric": "advanced_console_fwd_bwd_realtime_factor_8track",
-                "value": round(realtime_factor, 1),
-                "unit": "x_realtime",
-                "vs_baseline": round(realtime_factor / 50.0, 2),
-            }
-        )
+
+def bench_train_step(jax, jnp):
+    """Full Method-1 train step (model+console+MRSTFT fwd+bwd+Adam), 4x8x262144.
+
+    Reference recipe shape: configs/data/medley+cambridge-8.yaml:10-13. Model
+    is the shipped flagship config (embed 512, 12-layer controller, dual
+    Cnn14 encoders). Returns (steps_per_sec, realtime_factor) where realtime
+    counts batch * seq_len audio-seconds per step.
+    """
+    from diffmst_tpu.console import AdvancedMixConsole
+    from diffmst_tpu.losses import MultiResolutionSTFTLoss
+    from diffmst_tpu.models import MixStyleTransferModel
+    from diffmst_tpu.train import Batch, System, SystemConfig
+
+    sr = 44100.0
+    bs, num_tracks, seq_len = 4, 8, 262144
+    system = System(
+        MixStyleTransferModel.build(),
+        AdvancedMixConsole(sr),
+        MultiResolutionSTFTLoss(),
+        SystemConfig(steps_per_epoch=100, max_epochs=100),
     )
+    key = jax.random.PRNGKey(0)
+    batch = Batch(
+        tracks=jax.random.normal(key, (bs, num_tracks, seq_len), jnp.float32)
+        * 10 ** (-48 / 20),
+        instrument_id=jnp.zeros((bs, num_tracks), jnp.int32),
+        stereo_info=jnp.zeros((bs, num_tracks), jnp.int32),
+        track_padding=jnp.zeros((bs, num_tracks), bool),
+        ref_mix=jax.random.normal(key, (bs, 2, seq_len), jnp.float32) * 0.1,
+    )
+    state = system.init(jax.random.PRNGKey(1), batch)
+    step = system.make_train_step(system.effect_flags(0), donate=False)
+
+    K = 4
+
+    @jax.jit
+    def bench_k(state):
+        def body(i, carry):
+            state = carry
+            new_state, _ = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+            return new_state
+
+        return jax.lax.fori_loop(0, K, body, state)
+
+    jax.block_until_ready(bench_k(state))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(bench_k(state))
+        times.append((time.perf_counter() - t0) / K)
+    per_step = min(times)
+    return 1.0 / per_step, (bs * seq_len / sr) / per_step
+
+
+def run_once():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    console_rtf = bench_console(jax, jnp)
+    result = {
+        "metric": "advanced_console_fwd_bwd_realtime_factor_8track",
+        "value": round(console_rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(console_rtf / 50.0, 2),
+        "backend": backend,
+    }
+    if os.environ.get("BENCH_SKIP_TRAIN_STEP", "") != "1":
+        try:
+            steps_per_sec, train_rtf = bench_train_step(jax, jnp)
+            result["train_step_steps_per_sec"] = round(steps_per_sec, 3)
+            result["train_step_realtime_factor_4x8x262144"] = round(train_rtf, 1)
+        except Exception as exc:  # console number still stands alone
+            result["train_step_error"] = f"{type(exc).__name__}: {exc}"
+    return result
+
+
+def main():
+    t_start = time.time()
+    attempt = 0
+    last_err = ""
+    while time.time() - t_start < DEADLINE_S:
+        attempt += 1
+        remaining = DEADLINE_S - (time.time() - t_start)
+        if not probe_devices(min(PROBE_TIMEOUT_S, max(remaining, 10.0))):
+            last_err = f"liveness probe timed out (attempt {attempt})"
+            print(f"# {last_err}; retrying", file=sys.stderr)
+            time.sleep(min(90.0, max(0.0, DEADLINE_S - (time.time() - t_start))))
+            continue
+        try:
+            result = run_once()
+        except Exception as exc:
+            last_err = f"bench run failed (attempt {attempt}): {type(exc).__name__}: {exc}"
+            print(f"# {last_err}", file=sys.stderr)
+            time.sleep(30.0)
+            continue
+        result["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(RESULT_PATH, "w") as f:
+            json.dump(result, f)
+        print(json.dumps(result))
+        return 0
+
+    # All live attempts failed: fall back to a result captured earlier.
+    if os.path.exists(RESULT_PATH):
+        with open(RESULT_PATH) as f:
+            result = json.load(f)
+        result["stale"] = True
+        result["stale_reason"] = last_err or "deadline exceeded"
+        print(json.dumps(result))
+        return 0
+    print(json.dumps({"metric": "advanced_console_fwd_bwd_realtime_factor_8track",
+                      "value": None, "unit": "x_realtime", "vs_baseline": None,
+                      "error": last_err or "deadline exceeded"}))
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

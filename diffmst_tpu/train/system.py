@@ -143,14 +143,17 @@ class System:
         # generate_mix the model sees the second half of the tracks and the
         # first half of the generated (full-length) ref mix; in Method 2 it
         # sees full-length tracks and the batch's real ref mix.
+        n = min(2, example_batch.tracks.shape[1])
         if self.config.generate_mix:
             middle = example_batch.tracks.shape[-1] // 2
-            tracks = example_batch.tracks[:1, :2, :middle]
-            ref = example_batch.tracks[:1, :2, :middle]
+            tracks = example_batch.tracks[:1, :n, :middle]
+            # ref mix is always stereo, even for a 1-track example
+            first = example_batch.tracks[:1, :1, :middle]
+            ref = jnp.concatenate([first, first], axis=1)
         else:
-            tracks = example_batch.tracks[:1, :2]
+            tracks = example_batch.tracks[:1, :n]
             ref = example_batch.ref_mix[:1]
-        mask = example_batch.track_padding[:1, :2]
+        mask = example_batch.track_padding[:1, :n]
         variables = self.model.init(key, tracks, ref, mask)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

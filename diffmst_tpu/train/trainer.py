@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import collections
 import os
+import queue
+import threading
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +45,40 @@ def _to_batch(raw, device_put: Callable) -> Batch:
         track_padding=device_put(jnp.asarray(padding)),
         ref_mix=device_put(jnp.asarray(mix)),
     )
+
+
+def _prefetch(
+    loader, device_put: Callable, depth: int = 2
+) -> Iterator[Batch]:
+    """Background-thread batch pipeline with double-buffered device_put.
+
+    The producer thread walks the (host-side, possibly buffer-reloading)
+    dataloader and pushes already-device_put batches into a bounded queue, so
+    disk decode / LUFS gating / collate overlap with device compute — fixing
+    the reference's synchronous once-per-epoch buffer-reload stall
+    (/root/reference/mst/dataloader.py:386-390). ``depth=2`` keeps one batch
+    on device while the next is being staged (double buffering).
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for raw in loader:
+                q.put(_to_batch(raw, device_put))
+            q.put(_END)
+        except BaseException as exc:  # surface loader errors on the consumer
+            q.put(exc)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 class Trainer:
@@ -110,13 +146,18 @@ class Trainer:
             step_fn = self.system.make_train_step(flags)
             t_epoch = time.time()
             n_steps = 0
-            window: collections.deque = collections.deque(maxlen=50)
             pending = None
+            # Honest throughput: steps are dispatched asynchronously, so
+            # per-step wall clocks measure only dispatch. Instead, sync at
+            # every log point and average wall time over the whole window
+            # (device compute + host overlap included).
+            t_sync = time.time()
+            steps_since_sync = 0
 
-            for i, raw in enumerate(dm.train_dataloader()):
-                batch = _to_batch(raw, self._put_batch)
+            for i, batch in enumerate(
+                _prefetch(dm.train_dataloader(), self._put_batch)
+            ):
                 key, k_step = jax.random.split(key)
-                t0 = time.time()
                 if self.profile_steps and i == self.profile_steps.start:
                     jax.profiler.start_trace(self.profile_dir)
                 state, metrics = step_fn(state, batch, k_step)
@@ -124,10 +165,12 @@ class Trainer:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                 n_steps += 1
+                steps_since_sync += 1
                 if (i + 1) % self.log_every_n_steps == 0:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    window.append(time.time() - t0)
-                    sps = 1.0 / (sum(window) / len(window))
+                    host = {k: float(v) for k, v in metrics.items()}  # syncs
+                    now = time.time()
+                    sps = steps_since_sync / max(now - t_sync, 1e-9)
+                    t_sync, steps_since_sync = now, 0
                     bs = batch.tracks.shape[0]
                     host.update(
                         epoch=epoch,
@@ -136,8 +179,6 @@ class Trainer:
                     )
                     self.history.append(host)
                     self._log("train", host)
-                else:
-                    window.append(time.time() - t0)
                 pending = metrics
 
             if pending is not None:
@@ -147,20 +188,8 @@ class Trainer:
             # ------------------------------------------------------- val
             val_metrics: Dict[str, float] = {}
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
-                eval_fn = self.system.make_eval_step(flags)
-                agg: Dict[str, list] = collections.defaultdict(list)
-                audio = None
-                for raw in dm.val_dataloader():
-                    batch = _to_batch(raw, self._put_batch)
-                    key, k_step = jax.random.split(key)
-                    metrics, audio = eval_fn(state, batch, k_step)
-                    for k, v in metrics.items():
-                        agg[k].append(float(v))
-                val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
-                self._log("val", {**val_metrics, "epoch": epoch})
-                for cb in self.callbacks:
-                    if hasattr(cb, "on_validation_end") and audio is not None:
-                        cb.on_validation_end(epoch, state, audio, val_metrics)
+                key, k_val = jax.random.split(key)
+                val_metrics = self._run_validation(state, flags, k_val, epoch)
 
             # ----------------------------------------------------- ckpt
             os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -179,6 +208,44 @@ class Trainer:
                 },
             )
         return state
+
+    def _run_validation(
+        self, state: TrainState, flags, key, epoch: int
+    ) -> Dict[str, float]:
+        """One full pass over the val dataloader; logs + callbacks."""
+        eval_fn = self.system.make_eval_step(flags)
+        agg: Dict[str, list] = collections.defaultdict(list)
+        audio = None
+        for batch in _prefetch(
+            self.datamodule.val_dataloader(), self._put_batch
+        ):
+            key, k_step = jax.random.split(key)
+            metrics, audio = eval_fn(state, batch, k_step)
+            for k, v in metrics.items():
+                agg[k].append(float(v))
+        val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        self._log("val", {**val_metrics, "epoch": epoch})
+        for cb in self.callbacks:
+            if hasattr(cb, "on_validation_end") and audio is not None:
+                cb.on_validation_end(epoch, state, audio, val_metrics)
+        return val_metrics
+
+    def validate(self, resume: Optional[str] = None) -> Dict[str, float]:
+        """A single validation pass (the reference CLI's ``validate``
+        subcommand, /root/reference/main.py:14-22): restore (or init) state,
+        run the val dataloader once, return aggregated metrics."""
+        key = jax.random.PRNGKey(self.seed)
+        first = next(iter(self.datamodule.val_dataloader()))
+        example = _to_batch(first, lambda x: x)
+        state = self.system.init(key, example)
+        epoch = 0
+        if resume:
+            state = restore_state(resume, state)
+            epoch = int(state.step) // max(1, self.system.config.steps_per_epoch)
+        state = self._put_state(state)
+        flags = self.system.effect_flags(epoch)
+        key, k_val = jax.random.split(key)
+        return self._run_validation(state, flags, k_val, epoch)
 
     def _log(self, tag: str, metrics: Dict[str, float]) -> None:
         parts = " ".join(

@@ -52,6 +52,26 @@ def build_from_config(cfg: dict):
         except (ImportError, AttributeError, TypeError):
             pass  # reference-only callbacks (ModelSummary etc.) are cosmetic
 
+    # Multi-device: the reference's `trainer.devices` (configs/config.yaml:34)
+    # maps onto a dp mesh; `devices: auto` / -1 uses every chip. An optional
+    # `trainer.mesh: {dp: N, mp: M}` section exposes the 2-D mesh directly.
+    mesh = None
+    devices = trainer_cfg.get("devices", 1)
+    mesh_cfg = trainer_cfg.get("mesh")
+    if mesh_cfg:
+        from diffmst_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=mesh_cfg.get("dp"), mp=mesh_cfg.get("mp", 1))
+    elif devices in ("auto", -1) or (isinstance(devices, int) and devices > 1):
+        from diffmst_tpu.parallel import make_mesh
+
+        n = len(jax.devices()) if devices in ("auto", -1) else devices
+        if n > len(jax.devices()):
+            raise SystemExit(
+                f"trainer.devices={n} but only {len(jax.devices())} present"
+            )
+        mesh = make_mesh(dp=n, devices=jax.devices()[:n])
+
     trainer = Trainer(
         system,
         datamodule,
@@ -60,6 +80,7 @@ def build_from_config(cfg: dict):
         log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
         check_val_every_n_epoch=trainer_cfg.get("check_val_every_n_epoch", 1),
         callbacks=callbacks,
+        mesh=mesh,
         seed=cfg.get("seed_everything", 42),
     )
     return system, datamodule, trainer
@@ -86,8 +107,8 @@ def main(argv=None):
     if args.command == "fit":
         trainer.fit(resume=args.ckpt_path)
     else:
-        trainer.max_epochs = 0  # validate once via fit's val loop
-        trainer.fit(resume=args.ckpt_path)
+        metrics = trainer.validate(resume=args.ckpt_path)
+        print(f"validate: {metrics}")
 
 
 if __name__ == "__main__":

@@ -114,6 +114,11 @@ def main():
         if bstats:
             variables["batch_stats"] = bstats
 
+    # One jit cache entry for every (song, section, section) combination —
+    # inside the product loop a fresh lambda per iteration would recompile
+    # (30-200 s on TPU) each time.
+    apply = jax.jit(lambda t, r: model.apply(variables, t, r)) if variables else None
+
     os.makedirs(args.output_dir, exist_ok=True)
     rows = []
     for song in sorted(os.listdir(args.examples_dir)):
@@ -136,7 +141,6 @@ def main():
         for ti, ri in itertools.product(sections, ref_sections):
             methods = {"sum": equal_loudness_sum(tracks)}
             if variables is not None:
-                apply = jax.jit(lambda t, r: model.apply(variables, t, r))
                 mix, *_ = run_diffmst(
                     tracks, ref, apply, console,
                     track_start_idx=ti, ref_start_idx=ri,

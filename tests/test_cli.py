@@ -146,3 +146,97 @@ def test_remixer_and_param_system():
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
     assert {"track_param_loss", "fx_bus_param_loss", "master_bus_param_loss"} <= set(m)
+
+
+def test_cli_validate_runs_real_pass(tmp_path, dataset_dir, capsys):  # noqa: F811
+    """`validate` performs an actual validation pass (the reference CLI's
+    subcommand, /root/reference/main.py:14-22) — round-1 made it a no-op."""
+    root, meta, mix_meta = dataset_dir
+    import main as cli
+    from diffmst_tpu.utils.config import load_config
+
+    cfg_path = _write_cfg(tmp_path, root, meta, mix_meta)
+    system, datamodule, trainer = cli.build_from_config(load_config([cfg_path]))
+    datamodule.val_dataset.num_examples_per_epoch = 2
+    metrics = trainer.validate()
+    assert "loss" in metrics and np.isfinite(metrics["loss"])
+    out = capsys.readouterr().out
+    assert "[val]" in out
+
+
+def test_cli_mesh_wiring(tmp_path, dataset_dir):  # noqa: F811
+    """trainer.devices > 1 in the YAML builds a dp mesh (round-1 gap: CLI
+    could only ever train single-device)."""
+    root, meta, mix_meta = dataset_dir
+    import main as cli
+    import yaml as _yaml
+    from diffmst_tpu.utils.config import load_config
+
+    cfg_path = _write_cfg(tmp_path, root, meta, mix_meta)
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["trainer"]["devices"] = len(jax.devices())
+    cfg_path2 = tmp_path / "cfg_mesh.yaml"
+    cfg_path2.write_text(_yaml.safe_dump(cfg))
+
+    system, datamodule, trainer = cli.build_from_config(load_config([str(cfg_path2)]))
+    assert trainer.mesh is not None
+    assert trainer.mesh.shape["dp"] == len(jax.devices())
+
+    # and a dp-sharded fit smoke: 1 tiny epoch through the mesh path
+    datamodule.train_dataset.num_examples_per_epoch = len(jax.devices())
+    datamodule.val_dataset.num_examples_per_epoch = 2
+    datamodule.batch_size = len(jax.devices())
+    state = trainer.fit()
+    assert int(state.step) == 1
+
+
+def test_csvlogger_stays_aligned(tmp_path):
+    """New keys in later rows widen the header instead of shifting columns
+    (round-1 weak #5)."""
+    import csv
+
+    from diffmst_tpu.callbacks import CSVLogger
+
+    path = tmp_path / "m.csv"
+    lg = CSVLogger(str(path))
+    lg.on_log("train", {"loss": 1.0, "steps_per_sec": 2.0})
+    lg.on_log("train", {"loss": 0.5, "steps_per_sec": 2.1})
+    lg.on_log("epoch", {"epoch": 0, "epoch_seconds": 12.5})
+    lg.on_log("train", {"loss": 0.4, "steps_per_sec": 2.2})
+
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 4
+    assert rows[0]["loss"] == "1.0" and rows[0]["epoch"] == ""
+    assert rows[2]["tag"] == "epoch"
+    assert rows[2]["epoch_seconds"] == "12.5" and rows[2]["loss"] == ""
+    assert rows[3]["loss"] == "0.4"
+
+    # reopening appends with the widened header intact
+    lg2 = CSVLogger(str(path))
+    lg2.on_log("val", {"loss": 0.3})
+    rows = list(csv.DictReader(open(path)))
+    assert rows[4]["tag"] == "val" and rows[4]["loss"] == "0.3"
+
+
+def test_prefetch_pipeline():
+    """Background prefetch yields identical batches in order and propagates
+    loader exceptions."""
+    from diffmst_tpu.train.trainer import _prefetch, _to_batch
+
+    def loader(n=5, fail_at=None):
+        for i in range(n):
+            if fail_at is not None and i == fail_at:
+                raise RuntimeError("boom")
+            tracks = np.full((1, 2, 64), float(i), np.float32)
+            zeros = np.zeros((1, 2), np.int32)
+            yield tracks, zeros, zeros, zeros.astype(bool), np.zeros(
+                (1, 2, 64), np.float32
+            ), ["s"]
+
+    got = list(_prefetch(loader(), lambda x: x))
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert float(b.tracks[0, 0, 0]) == float(i)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(_prefetch(loader(fail_at=2), lambda x: x))

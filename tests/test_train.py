@@ -135,3 +135,17 @@ def test_dp_sharded_step_matches_single_device(mrstft_system):
     # updated params identical across the mesh (replicated) and close to single
     p1 = jax.tree.leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(p1)).all()
+
+
+def test_init_single_track(mrstft_system):
+    """System.init works for max_tracks == 1 (round-1 weak #10)."""
+    key = jax.random.PRNGKey(0)
+    batch = Batch(
+        tracks=jax.random.normal(key, (1, 1, T)) * 0.01,
+        instrument_id=jnp.zeros((1, 1), jnp.int32),
+        stereo_info=jnp.zeros((1, 1), jnp.int32),
+        track_padding=jnp.zeros((1, 1), bool),
+        ref_mix=jax.random.normal(key, (1, 2, T // 2)) * 0.1,
+    )
+    state = mrstft_system.init(key, batch)
+    assert int(state.step) == 0
