@@ -134,10 +134,18 @@ class AdvancedMixConsole:
     master_comp_lookahead: int = 1024
     reverb_num_samples: int = 65536
     reverb_num_taps: int = 1023
-    # Ballistics smoother for both compressors: "fsm" reproduces the
-    # reference's attack-only FFT one-pole; "scan" is the exact causal
-    # one-pole; "ballistics" adds true attack/release branching.
-    comp_smoother: str = "fsm"
+    # Ballistics smoother for both compressors (ops/compressor.py):
+    #   "auto" (default) — the exact causal attack one-pole, kernel-backed on
+    #     TPU ("scan_pallas", diffmst_tpu/kernels/scan1p.py) and
+    #     associative-scan elsewhere; identical numerics on both.
+    #   "fsm" — bit-level reference behavior: the same one-pole applied as a
+    #     circular FFT convolution, which wraps the gain envelope across
+    #     segment ends (measured: up to ~57% of peak deviation from the
+    #     causal smoother in the first ~4096 samples, <7% after wrap-in).
+    #     Use for exact parity with reference-trained checkpoints.
+    #   "decoupled" — attack/release with a working release (parallel);
+    #   "ballistics" — exact branching ballistics (sequential; offline).
+    comp_smoother: str = "auto"
 
     num_track_control_params: int = _ranges.NUM_TRACK_PARAMS
     num_fx_bus_control_params: int = _ranges.NUM_FX_BUS_PARAMS

@@ -33,8 +33,8 @@ __all__ = ["onepole_core", "onepole_scan"]
 _LANES = 128
 
 
-def _scan_kernel(chunk: int):
-    """Kernel: one (chunk, 128) time-block of y[n] = a*y[n-1] + b[n]."""
+def _scan_kernel(chunk: int, time_varying: bool):
+    """Kernel: one (chunk, 128) time-block of y[n] = a[n]*y[n-1] + b[n]."""
 
     def kernel(a_ref, b_ref, out_ref, carry_ref):
         # grid = (groups, time_chunks): time is the minor axis so all chunks
@@ -45,10 +45,13 @@ def _scan_kernel(chunk: int):
         def _():
             carry_ref[...] = jnp.zeros_like(carry_ref)
 
-        a_row = a_ref[...]  # (1, 128) per-signal coefficient
         b = b_ref[...]  # (chunk, 128)
-        # per-row transition A[i] = a (constant over time) and load B[i] = b[i]
-        A = jnp.broadcast_to(a_row, b.shape)
+        # per-row transition A[i] (constant (1,128) row or full (chunk,128)
+        # time-varying block) and load B[i] = b[i]
+        if time_varying:
+            A = a_ref[...]
+        else:
+            A = jnp.broadcast_to(a_ref[...], b.shape)
         B = b
         # Hillis-Steele inclusive scan of (A, B) composition down the sublanes
         d = 1
@@ -78,23 +81,39 @@ def onepole_core(
     chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """y[n] = alpha * y[n-1] + b[n] over the last axis. b: (B, T), alpha: (B,)."""
+    """y[n] = alpha[n] * y[n-1] + b[n] over the last axis.
+
+    b: (B, T); alpha: (B,) for a constant coefficient per signal, or (B, T)
+    for a time-varying first-order linear recurrence (the general form —
+    input-switched attack/release ballistics use this).
+    """
     bs, t = b.shape
+    time_varying = alpha.ndim == 2
     # lanes = batch (padded to 128), sublanes = time
     b_pad = (-bs) % _LANES
     t_pad = (-t) % chunk
     x = jnp.pad(b, ((0, b_pad), (0, t_pad))).T  # (T', B')
-    a = jnp.pad(alpha, (0, b_pad))[None, :]  # (1, B')
+    if time_varying:
+        # pad alpha with 1s in time so padded tail carries state through
+        # (irrelevant to the unpadded output but keeps the scan benign)
+        a = jnp.pad(alpha, ((0, b_pad), (0, t_pad))).T  # (T', B')
+    else:
+        a = jnp.pad(alpha, (0, b_pad))[None, :]  # (1, B')
     tp, bp = x.shape
 
     groups = bp // _LANES
     grid = (groups, tp // chunk)
+    a_spec = (
+        pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j))
+        if time_varying
+        else pl.BlockSpec((1, _LANES), lambda j, i: (0, j))
+    )
     y = pl.pallas_call(
-        _scan_kernel(chunk),
+        _scan_kernel(chunk, time_varying),
         out_shape=jax.ShapeDtypeStruct((tp, bp), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _LANES), lambda j, i: (0, j)),
+            a_spec,
             pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
         ],
         out_specs=pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
@@ -132,3 +151,40 @@ def _bwd(chunk, interpret, res, dy):
 
 
 onepole_scan.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------- time-varying smoother VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def onepole_scan_tv(
+    g: jnp.ndarray, alpha: jnp.ndarray, chunk: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """Time-varying smoother y[n] = a[n] y[n-1] + (1-a[n]) g[n].
+
+    g, alpha: (B, T). The general first-order linear recurrence — used for
+    input-switched attack/release ballistics (a[n] picked per sample).
+    """
+    return onepole_core((1.0 - alpha) * g, alpha, chunk, interpret)
+
+
+def _fwd_tv(g, alpha, chunk, interpret):
+    y = onepole_core((1.0 - alpha) * g, alpha, chunk, interpret)
+    return y, (g, alpha, y)
+
+
+def _bwd_tv(chunk, interpret, res, dy):
+    g, alpha, y = res
+    # adjoint: s[n] = dy[n] + a[n+1] s[n+1]. Reversed in time this is a
+    # tv one-pole with the coefficient sequence shifted by one; the m=0
+    # coefficient multiplies zero state, so its value is irrelevant.
+    a_rev = alpha[:, ::-1]
+    a_hat = jnp.concatenate([jnp.ones_like(a_rev[:, :1]), a_rev[:, :-1]], axis=1)
+    s = onepole_core(dy[:, ::-1], a_hat, chunk, interpret)[:, ::-1]
+    dg = (1.0 - alpha) * s
+    y_prev = jnp.concatenate([jnp.zeros_like(y[:, :1]), y[:, :-1]], axis=1)
+    dalpha = s * (y_prev - g)
+    return dg, dalpha
+
+
+onepole_scan_tv.defvjp(_fwd_tv, _bwd_tv)

@@ -26,6 +26,23 @@ Three interchangeable ballistics smoothers, all pure JAX:
     (attack coefficient while gain reduction deepens, release while it
     recovers) via ``jax.lax.scan``. Exact but sequential over time; used as
     the golden model in tests and for offline high-quality rendering.
+
+Kernel-backed variants (diffmst_tpu/kernels/scan1p.py — a Pallas TPU kernel
+that streams the recurrence through VMEM in one HBM pass, with custom VJPs):
+
+  * ``"scan_pallas"``: numerically identical to ``"scan"``, TPU-fast.
+  * ``"decoupled"``: attack/release smoothing with a working release, fully
+    parallel. The decoupled peak smoother (Giannoulis et al. §IV-C) in
+    gain-reduction form:
+        y1[n] = min(g[n], ar*y1[n-1] + (1-ar)*g[n])   (release stage)
+        y[n]  = aa*y[n-1] + (1-aa)*y1[n]              (attack one-pole)
+    The release stage looks nonlinear, but transfer functions
+    f(y) = min(c, a*y + d) are closed under composition —
+    (a, d, c) composes associatively — so it is an
+    ``associative_scan`` too. Unlike the state-dependent ``"ballistics"``
+    branching (inherently sequential), this runs in O(log T) depth and is
+    the recommended high-quality mode for full-song rendering.
+  * ``"auto"``: ``"scan_pallas"`` on TPU, ``"scan"`` elsewhere.
 """
 
 from __future__ import annotations
@@ -91,6 +108,53 @@ def _smooth_scan(g_db: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _smooth_scan_tv(g_db: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Time-varying y[n] = a[n]*y[n-1] + (1-a[n])*g[n] via associative scan."""
+    b = (1.0 - a) * g_db
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(combine, (a, b), axis=-1)
+    return y
+
+
+def _release_min_scan(g_db: jnp.ndarray, alpha_r: jnp.ndarray) -> jnp.ndarray:
+    """y1[n] = min(g[n], ar*y1[n-1] + (1-ar)*g[n]) via associative scan.
+
+    Transfer maps f(y) = min(c, a*y + d) compose as
+        (f2 . f1)(y) = min(min(c2, a2*c1 + d2), (a1*a2)*y + (a2*d1 + d2))
+    so the triple (a, d, c) is an associative monoid element; the state
+    entering the segment is 0 dB (no reduction), giving y1 = min(C, D).
+    """
+    a = jnp.broadcast_to(alpha_r[:, None], g_db.shape)
+    d = (1.0 - a) * g_db
+    c = g_db
+
+    def combine(left, right):
+        a1, d1, c1 = left
+        a2, d2, c2 = right
+        return a1 * a2, a2 * d1 + d2, jnp.minimum(c2, a2 * c1 + d2)
+
+    _, D, C = jax.lax.associative_scan(combine, (a, d, c), axis=-1)
+    return jnp.minimum(C, D)
+
+
+def _smooth_decoupled(
+    g_db: jnp.ndarray, alpha_a: jnp.ndarray, alpha_r: jnp.ndarray,
+    use_pallas: bool = False, interpret: bool = False,
+) -> jnp.ndarray:
+    """Decoupled attack/release smoother — release min-scan then attack pole."""
+    y1 = _release_min_scan(g_db, alpha_r)
+    if use_pallas:
+        from diffmst_tpu.kernels.scan1p import onepole_scan
+
+        return onepole_scan(y1, alpha_a, interpret=interpret)
+    return _smooth_scan(y1, alpha_a)
+
+
 def _smooth_ballistics(
     g_db: jnp.ndarray, alpha_a: jnp.ndarray, alpha_r: jnp.ndarray
 ) -> jnp.ndarray:
@@ -127,10 +191,25 @@ def compressor_gain_db(
         x_db, threshold_db[:, None], ratio[:, None], knee_db[:, None]
     )
     alpha_a = _ballistics_coeff(attack_ms, sample_rate)
+    if smoother == "auto":
+        smoother = "scan_pallas" if jax.default_backend() == "tpu" else "scan"
     if smoother == "fsm":
         return _smooth_fsm(g_c, alpha_a)
     if smoother == "scan":
         return _smooth_scan(g_c, alpha_a)
+    if smoother in ("scan_pallas", "scan_pallas_interpret"):
+        from diffmst_tpu.kernels.scan1p import onepole_scan
+
+        return onepole_scan(
+            g_c, alpha_a, interpret=smoother.endswith("interpret")
+        )
+    if smoother in ("decoupled", "decoupled_pallas", "decoupled_pallas_interpret"):
+        alpha_r = _ballistics_coeff(release_ms, sample_rate)
+        return _smooth_decoupled(
+            g_c, alpha_a, alpha_r,
+            use_pallas=smoother != "decoupled",
+            interpret=smoother.endswith("interpret"),
+        )
     if smoother == "ballistics":
         alpha_r = _ballistics_coeff(release_ms, sample_rate)
         return _smooth_ballistics(g_c, alpha_a, alpha_r)

@@ -85,3 +85,145 @@ def test_onepole_scan_grad_matches_autodiff():
     gr, ar = jax.grad(loss_ref, argnums=(0, 1))(g, alpha)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(ak), np.asarray(ar), rtol=2e-3, atol=1e-2)
+
+
+def test_onepole_scan_tv_matches_sequential():
+    """Time-varying kernel path == per-sample sequential reference."""
+    from diffmst_tpu.kernels import onepole_scan_tv
+
+    rng = np.random.default_rng(4)
+    g = rng.normal(size=(2, 700)).astype(np.float32)
+    a = rng.uniform(0.3, 0.999, size=(2, 700)).astype(np.float32)
+    y = np.asarray(
+        onepole_scan_tv(jnp.asarray(g), jnp.asarray(a), chunk=128, interpret=True)
+    )
+    ref = np.zeros_like(g)
+    for i in range(2):
+        acc = 0.0
+        for n in range(g.shape[1]):
+            acc = a[i, n] * acc + (1.0 - a[i, n]) * g[i, n]
+            ref[i, n] = acc
+    np.testing.assert_allclose(y, ref, atol=2e-4)
+
+
+def test_onepole_scan_tv_grad_matches_autodiff():
+    """Custom VJP of the tv kernel == autodiff of the associative-scan form."""
+    from diffmst_tpu.kernels import onepole_scan_tv
+    from diffmst_tpu.ops.compressor import _smooth_scan_tv
+
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=(2, 300)).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 0.99, size=(2, 300)).astype(np.float32))
+
+    def loss_kernel(g, a):
+        y = onepole_scan_tv(g, a, 128, True)
+        return jnp.sum(jnp.sin(y) * y)
+
+    def loss_ref(g, a):
+        y = _smooth_scan_tv(g, a)
+        return jnp.sum(jnp.sin(y) * y)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(g, a)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(g, a)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]), atol=3e-4)
+
+
+def test_compressor_scan_pallas_backend_matches_scan():
+    """ops.compressor smoother='scan_pallas' == 'scan' (kernel wired in)."""
+    from diffmst_tpu import ops
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 1, 4096)).astype(np.float32) * 0.25)
+    kw = dict(
+        threshold_db=jnp.array([-24.0, -18.0]),
+        ratio=jnp.array([4.0, 2.0]),
+        attack_ms=jnp.array([10.0, 30.0]),
+        release_ms=jnp.array([100.0, 60.0]),
+        knee_db=jnp.array([6.0, 3.0]),
+        makeup_gain_db=jnp.array([0.0, 2.0]),
+        lookahead_samples=256,
+    )
+    y_scan = ops.compressor(x, 44100.0, smoother="scan", **kw)
+    y_pl = ops.compressor(x, 44100.0, smoother="scan_pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_scan), atol=2e-5)
+
+
+def test_decoupled_release_min_scan_matches_sequential():
+    """The associative min-affine scan == the sequential release recurrence."""
+    from diffmst_tpu.ops.compressor import _release_min_scan
+
+    rng = np.random.default_rng(7)
+    g = np.minimum(0.0, rng.normal(size=(3, 900)) * 8.0).astype(np.float32)
+    ar = np.array([0.999, 0.99, 0.9], np.float32)
+    got = np.asarray(_release_min_scan(jnp.asarray(g), jnp.asarray(ar)))
+    ref = np.zeros_like(g)
+    for i in range(3):
+        y1 = 0.0
+        for n in range(g.shape[1]):
+            y1 = min(g[i, n], ar[i] * y1 + (1.0 - ar[i]) * g[i, n])
+            ref[i, n] = y1
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_compressor_decoupled_has_working_release():
+    """The decoupled smoother releases with the release time constant (the
+    attack-only 'scan'/'fsm' smoothers never do — reference behavior), and
+    both decoupled paths (XLA scan / Pallas attack pole) agree."""
+    from diffmst_tpu.ops.compressor import (
+        _ballistics_coeff,
+        _smooth_decoupled,
+        _smooth_scan,
+    )
+
+    sr = 44100.0
+    t = np.arange(32768)
+    x_db = np.where((t > 2000) & (t < 9000), -1.0, -34.0).astype(np.float32)[None]
+    g = jnp.asarray(np.minimum(0.0, (-24.0 - x_db) * (1 - 1 / 4)))
+
+    aa = _ballistics_coeff(jnp.array([10.0]), sr)
+    ar = _ballistics_coeff(jnp.array([80.0]), sr)
+
+    dec = np.asarray(_smooth_decoupled(g, aa, ar))
+    dec_pl = np.asarray(
+        _smooth_decoupled(g, aa, ar, use_pallas=True, interpret=True)
+    )
+    np.testing.assert_allclose(dec_pl, dec, atol=2e-4)
+
+    attack_only = np.asarray(_smooth_scan(g, aa))
+    # after the burst ends the release constant applies: the coefficient is
+    # parameterized as 10-90% rise in release_ms (exp(-ln9/T) per sample), so
+    # one release_ms after the end ~1/9 of the reduction remains; the
+    # attack-only smoother recovers with the (8x faster) attack constant and
+    # is fully released there.
+    n_end = 9000
+    n_probe = n_end + int(80e-3 * sr)  # one release constant later
+    depth = float(g[0, 5000])  # steady-state reduction during the burst
+    assert abs(float(dec[0, 8000]) - depth) < 0.5  # attack settled
+    rec_dec = float(dec[0, n_probe]) / depth  # fraction still reduced
+    rec_att = float(attack_only[0, n_probe]) / depth
+    assert rec_att < 0.001  # attack-only: recovery long done (wrong)
+    assert 0.05 < rec_dec < 0.25  # decoupled: ~1/9 remains (right)
+
+
+def test_compressor_decoupled_backend_grads_finite():
+    from diffmst_tpu import ops
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 1, 2048)).astype(np.float32) * 0.3)
+
+    def loss(thr):
+        y = ops.compressor(
+            x, 44100.0,
+            threshold_db=thr,
+            ratio=jnp.array([4.0, 3.0]),
+            attack_ms=jnp.array([10.0, 20.0]),
+            release_ms=jnp.array([80.0, 120.0]),
+            knee_db=jnp.array([6.0, 6.0]),
+            makeup_gain_db=jnp.array([0.0, 0.0]),
+            smoother="decoupled",
+        )
+        return jnp.sum(jnp.square(y))
+
+    grad = jax.grad(loss)(jnp.array([-24.0, -18.0]))
+    assert np.isfinite(np.asarray(grad)).all()
