@@ -80,6 +80,7 @@ class MultitrackDataset:
         mix_root_dirs: Sequence[str] = (),
         mix_metadata_files: Sequence[str] = (),
         target_mix_lufs_db: float = -16.0,
+        randomize_ref_mix_gain: bool = False,
         instrument_name2id: Optional[Dict[str, int]] = None,
         seed: int = 42,
         process_index: int = 0,
@@ -95,6 +96,7 @@ class MultitrackDataset:
         self.target_track_lufs_db = target_track_lufs_db
         self.min_track_lufs_db = min_track_lufs_db
         self.target_mix_lufs_db = target_mix_lufs_db
+        self.randomize_ref_mix_gain = randomize_ref_mix_gain
         self.instrument_name2id = instrument_name2id or {}
         self.rng = np.random.default_rng(seed + process_index)
 
@@ -104,6 +106,10 @@ class MultitrackDataset:
         if not self.songs:
             raise ValueError(f"no songs for subset={subset!r} in {metadata_files}")
 
+        # Reference mixes: explicit metadata lists when given, else a
+        # recursive **/*.wav glob of the mix roots (the reference's MixDataset
+        # discovery, dataloader.py:25-26 — the Jamendo configs pass only a
+        # root dir).
         self.mix_paths: List[str] = []
         for mf in mix_metadata_files:
             with open(mf) as f:
@@ -111,6 +117,14 @@ class MultitrackDataset:
             for rel in meta.get(subset, []) or []:
                 self.mix_paths.append(rel)
         self.mix_root_dirs = list(mix_root_dirs)
+        if self.mix_root_dirs and not self.mix_paths:
+            import glob as _glob
+
+            for root in self.mix_root_dirs:
+                for p in _glob.glob(
+                    os.path.join(root, "**", "*.wav"), recursive=True
+                ):
+                    self.mix_paths.append(os.path.relpath(p, root))
 
         self.track_buffer: List[TrackExample] = []
         self.mix_buffer: List[np.ndarray] = []
@@ -262,6 +276,10 @@ class MultitrackDataset:
 
         if self.mix_buffer:
             mix = self.mix_buffer[int(self.rng.integers(len(self.mix_buffer)))]
+            if self.randomize_ref_mix_gain:  # dataloader.py:411-414
+                mix = mix * np.float32(
+                    10.0 ** (self.rng.uniform(-16.0, 12.0) / 20.0)
+                )
         else:
             mix = np.zeros((2, self.length), np.float32)
         return tracks, stereo, instr, padding, mix, ex.song_name
@@ -274,7 +292,7 @@ class MixDataset:
     def __init__(
         self,
         root_dirs: Sequence[str],
-        metadata_files: Sequence[str],
+        metadata_files: Sequence[str] = (),
         length: int = 262144,
         subset: str = "train",
         num_examples_per_epoch: int = 10000,
@@ -292,7 +310,16 @@ class MixDataset:
                 meta = yaml.safe_load(f)
             self.paths.extend(meta.get(subset, []) or [])
         if not self.paths:
-            raise ValueError("no mixes in metadata")
+            # reference discovery: recursive wav glob (dataloader.py:25-26)
+            import glob as _glob
+
+            for root in self.root_dirs:
+                for p in _glob.glob(
+                    os.path.join(root, "**", "*.wav"), recursive=True
+                ):
+                    self.paths.append(os.path.relpath(p, root))
+        if not self.paths:
+            raise ValueError("no mixes in metadata or under root_dirs")
 
     def __len__(self) -> int:
         return self.num_examples_per_epoch
@@ -346,13 +373,16 @@ class MultitrackDataModule:
         num_examples_per_pass: int = 1000,  # dataloader.py:140 fixes this at 1000
         train_buffer_size_gb: float = 2.0,
         val_buffer_size_gb: float = 0.5,
+        test_buffer_size_gb: float = 0.5,
         target_track_lufs_db: float = -48.0,
         min_track_lufs_db: float = -48.0,
         mix_root_dirs: Sequence[str] = (),
         mix_metadata_files: Sequence[str] = (),
         target_mix_lufs_db: float = -16.0,
+        randomize_ref_mix_gain: bool = False,
         instrument_name2id_json: Optional[str] = None,
         seed: int = 42,
+        **_unused,
     ) -> None:
         import json
 
@@ -389,6 +419,7 @@ class MultitrackDataModule:
             mix_root_dirs=mix_root_dirs,
             mix_metadata_files=mix_metadata_files,
             target_mix_lufs_db=target_mix_lufs_db,
+            randomize_ref_mix_gain=randomize_ref_mix_gain,
             instrument_name2id=name2id,
             seed=seed,
             process_index=pidx,
@@ -407,9 +438,21 @@ class MultitrackDataModule:
             num_examples_per_epoch=max(1, num_examples_per_pass * num_val_passes),
             **common,
         )
+        # test split (dataloader.py:496-516) built lazily: the metadata files
+        # may have no "test" subset (medley.yaml doesn't), and the reference
+        # only constructs it when test_dataloader() is called.
+        self._test_kwargs = dict(
+            subset="test",
+            buffer_size_gb=test_buffer_size_gb,
+            num_examples_per_epoch=max(1, num_examples_per_pass * num_val_passes),
+            **common,
+        )
+        self.test_dataset: Optional[MultitrackDataset] = None
 
-    def _iterate(self, dataset: MultitrackDataset) -> Iterator[Tuple]:
-        bs = self.batch_size
+    def _iterate(
+        self, dataset: MultitrackDataset, batch_size: Optional[int] = None
+    ) -> Iterator[Tuple]:
+        bs = batch_size or self.batch_size
         items = []
         for i in range(len(dataset)):
             items.append(dataset[i])
@@ -433,21 +476,31 @@ class MultitrackDataModule:
     def val_dataloader(self) -> Iterator[Tuple]:
         return self._iterate(self.val_dataset)
 
+    def test_dataloader(self) -> Iterator[Tuple]:
+        """Test-split loader, batch_size=1 like the reference
+        (dataloader.py:512-516)."""
+        if self.test_dataset is None:
+            self.test_dataset = MultitrackDataset(**self._test_kwargs)
+        return self._iterate(self.test_dataset, batch_size=1)
+
 
 class MixDataModule:
     """Batched mixes for parameter-estimation pretraining (dataloader.py:423+)."""
 
     def __init__(
         self,
-        root_dirs: Sequence[str],
-        metadata_files: Sequence[str],
+        root_dirs: Sequence[str] = (),
+        metadata_files: Sequence[str] = (),
         length: int = 262144,
         batch_size: int = 4,
         num_examples_per_epoch: int = 10000,
         target_lufs_db: float = -16.0,
         seed: int = 0,
+        root_dir: Optional[str] = None,  # reference singular alias
         **_unused,
     ) -> None:
+        if root_dir is not None:
+            root_dirs = list(root_dirs) + [root_dir]
         self.batch_size = batch_size
         self.train_dataset = MixDataset(
             root_dirs, metadata_files, length, "train",

@@ -171,3 +171,111 @@ def test_process_sharding_splits_songs(dataset_dir):
             buffer_size_gb=0.001, min_track_lufs_db=-60.0,
         ).songs
     )
+
+
+def test_vendored_metadata_and_reference_configs():
+    """The vendored data/*.yaml + configs/data twins resolve without editing
+    (round-1 missing #4): every metadata file parses, splits are non-empty,
+    and the reference-named configs instantiate a DataModule."""
+    import glob
+
+    from diffmst_tpu.utils.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("medley.yaml", "cambridge.yaml"):
+        with open(os.path.join(repo, "data", name)) as f:
+            meta = yaml.safe_load(f)
+        assert meta.get("train") and meta.get("val"), name
+    assert os.path.exists(os.path.join(repo, "data", "instrument_name2id.json"))
+    assert os.path.exists(os.path.join(repo, "data", "knowledge_engineering.yaml"))
+
+    cfgs = glob.glob(os.path.join(repo, "configs", "data", "medley+cambridge*.yaml"))
+    assert len(cfgs) >= 4
+    for cfg_path in cfgs:
+        cfg = load_config([cfg_path])["data"]
+        # metadata paths are repo-relative; resolve and construct the module
+        args = dict(cfg["init_args"])
+        args["metadata_files"] = [
+            os.path.join(repo, p.lstrip("./")) for p in args["metadata_files"]
+        ]
+        args["instrument_name2id_json"] = os.path.join(
+            repo, args["instrument_name2id_json"].lstrip("./")
+        )
+        args["mix_root_dirs"] = []  # no jamendo audio in CI
+        dm = MultitrackDataModule(**args)
+        assert len(dm.train_dataset.songs) > 50
+        assert len(dm.val_dataset.songs) > 5
+        assert dm.train_dataset.instrument_name2id.get("kick drum") is not None
+
+
+def test_randomize_ref_mix_gain(dataset_dir):
+    root, meta, mix_meta = dataset_dir
+    kwargs = dict(
+        track_root_dirs=[str(root)],
+        metadata_files=[meta],
+        mix_root_dirs=[str(root)],
+        mix_metadata_files=[mix_meta],
+        length=LEN,
+        min_tracks=2,
+        max_tracks=4,
+        buffer_size_gb=0.001,
+        min_track_lufs_db=-60.0,
+        seed=7,
+    )
+    ds_plain = MultitrackDataset(**kwargs)
+    ds_rand = MultitrackDataset(randomize_ref_mix_gain=True, **kwargs)
+    # same seed -> same buffered mixes; the randomized one applies a
+    # -16..+12 dB gain on top (dataloader.py:411-414)
+    m0 = ds_plain[0][4]
+    m1 = ds_rand[0][4]
+    assert m0.shape == m1.shape
+    ratios = m1[np.abs(m0) > 1e-6] / m0[np.abs(m0) > 1e-6]
+    assert ratios.std() < 1e-4  # a single scalar gain
+    r = float(np.median(np.abs(ratios)))
+    assert 10 ** (-16 / 20) * 0.9 <= r <= 10 ** (12 / 20) * 1.1
+    assert abs(r - 1.0) > 1e-3  # actually applied
+
+
+def test_test_dataloader_split(dataset_dir):
+    """DataModule builds a test split lazily with batch_size=1
+    (dataloader.py:496-516; round-1 partial #27)."""
+    root, meta, mix_meta = dataset_dir
+    # add a "test" split to a copy of the metadata
+    with open(meta) as f:
+        m = yaml.safe_load(f)
+    m["test"] = m["val"]
+    meta2 = os.path.join(os.path.dirname(meta), "meta_with_test.yaml")
+    with open(meta2, "w") as f:
+        yaml.safe_dump(m, f)
+
+    dm = MultitrackDataModule(
+        track_root_dirs=[str(root)],
+        metadata_files=[meta2],
+        length=LEN,
+        min_tracks=2,
+        max_tracks=4,
+        batch_size=2,
+        num_train_passes=0,
+        train_buffer_size_gb=0.001,
+        val_buffer_size_gb=0.001,
+        test_buffer_size_gb=0.001,
+        min_track_lufs_db=-60.0,
+    )
+    assert dm.test_dataset is None  # lazy
+    it = dm.test_dataloader()
+    batch = next(it)
+    assert batch[0].shape[0] == 1  # batch_size 1 (reference contract)
+    assert dm.test_dataset is not None
+    assert dm.test_dataset.subset == "test"
+
+
+def test_mix_glob_discovery(dataset_dir):
+    """MixDataset/mix buffer discover wavs by recursive glob when no
+    metadata list is given (reference dataloader.py:25-26)."""
+    from diffmst_tpu.data import MixDataset
+
+    root, meta, mix_meta = dataset_dir
+    ds = MixDataset(root_dirs=[str(root)], length=LEN, seed=3)
+    assert len(ds.paths) > 4  # found the synthesized wavs
+    x = ds[0]
+    assert x.shape == (2, LEN) or x.shape[0] in (1, 2)
