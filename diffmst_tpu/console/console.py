@@ -146,6 +146,10 @@ class AdvancedMixConsole:
     #   "decoupled" — attack/release with a working release (parallel);
     #   "ballistics" — exact branching ballistics (sequential; offline).
     comp_smoother: str = "auto"
+    # Optional device mesh: when set (and it has an "mp" axis), the per-track
+    # chain runs under shard_map with tracks sharded over mp — explicit
+    # locality for the embarrassingly-parallel section (see _track_chain).
+    mesh: Optional[object] = None
 
     num_track_control_params: int = _ranges.NUM_TRACK_PARAMS
     num_fx_bus_control_params: int = _ranges.NUM_FX_BUS_PARAMS
@@ -185,6 +189,42 @@ class AdvancedMixConsole:
         )
         return track_d, fx_d, master_d
 
+    def _track_chain(
+        self,
+        tracks: jnp.ndarray,
+        track_param_dict: ParamDict,
+        use_track_input_fader: bool,
+        use_track_eq: bool,
+        use_track_compressor: bool,
+    ) -> jnp.ndarray:
+        """Per-track gain -> EQ -> compressor over (bs, num_tracks, seq_len).
+
+        Embarrassingly parallel over tracks; under an ``mp`` mesh this body
+        runs inside shard_map on the local track shard, so its FFTs are
+        shard-local (no cross-device layouts — the TPU-optimal formulation,
+        and the XLA:CPU fft_thunk layout limitation never triggers).
+        """
+        bs, num_tracks, seq_len = tracks.shape
+        sr = self.sample_rate
+        x = tracks.reshape(bs * num_tracks, 1, seq_len)
+
+        def flat(p):  # (bs, num_tracks) -> (bs*num_tracks,)
+            return p.reshape(bs * num_tracks)
+
+        if use_track_input_fader:
+            x = ops.gain(x, sr, flat(track_param_dict["input_fader"]["gain_db"]))
+        if use_track_eq:
+            eq = {k: flat(v) for k, v in track_param_dict["parametric_eq"].items()}
+            x = ops.parametric_eq(x, sr, **eq)
+        if use_track_compressor:
+            comp = {k: flat(v) for k, v in track_param_dict["compressor"].items()}
+            x = ops.compressor(
+                x, sr, **comp,
+                lookahead_samples=self.track_comp_lookahead,
+                smoother=self.comp_smoother,
+            )
+        return x.reshape(bs, num_tracks, seq_len)
+
     def forward_mix_console(
         self,
         tracks: jnp.ndarray,
@@ -204,26 +244,28 @@ class AdvancedMixConsole:
         bs, num_tracks, seq_len = tracks.shape
         sr = self.sample_rate
 
-        # fold tracks into the batch axis for the per-track chain
-        x = tracks.reshape(bs * num_tracks, 1, seq_len)
+        chain_kwargs = dict(
+            use_track_input_fader=use_track_input_fader,
+            use_track_eq=use_track_eq,
+            use_track_compressor=use_track_compressor,
+        )
+        track_keys = ("input_fader", "parametric_eq", "compressor")
+        chain_params = {k: track_param_dict[k] for k in track_keys}
+        if self.mesh is not None and "mp" in self.mesh.shape:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
 
-        def flat(p):  # (bs, num_tracks) -> (bs*num_tracks,)
-            return p.reshape(bs * num_tracks)
-
-        if use_track_input_fader:
-            x = ops.gain(x, sr, flat(track_param_dict["input_fader"]["gain_db"]))
-        if use_track_eq:
-            eq = {k: flat(v) for k, v in track_param_dict["parametric_eq"].items()}
-            x = ops.parametric_eq(x, sr, **eq)
-        if use_track_compressor:
-            comp = {k: flat(v) for k, v in track_param_dict["compressor"].items()}
-            x = ops.compressor(
-                x, sr, **comp,
-                lookahead_samples=self.track_comp_lookahead,
-                smoother=self.comp_smoother,
-            )
-
-        x = x.reshape(bs, num_tracks, seq_len)
+            spec_x = P("dp", "mp", None)
+            spec_p = jax.tree.map(lambda _: P("dp", "mp"), chain_params)
+            x = shard_map(
+                lambda t, p: self._track_chain(t, p, **chain_kwargs),
+                mesh=self.mesh,
+                in_specs=(spec_x, spec_p),
+                out_specs=spec_x,
+                check_vma=False,
+            )(tracks, chain_params)
+        else:
+            x = self._track_chain(tracks, chain_params, **chain_kwargs)
 
         if use_track_panner:
             stems = ops.stereo_panner(x, sr, track_param_dict["stereo_panner"]["pan"])

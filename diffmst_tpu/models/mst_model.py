@@ -29,6 +29,45 @@ class MixStyleTransferModel(nn.Module):
     controller: nn.Module
     sum_and_diff: bool = False
 
+    def encode_tracks(
+        self, tracks: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """(bs, num_tracks, seq_len) -> (bs, num_tracks, embed_dim).
+
+        Embarrassingly parallel over tracks — under an ``mp`` mesh the System
+        runs this stage inside shard_map on the local track shard
+        (train/system.py), keeping the STFT shard-local.
+        """
+        bs, num_tracks, seq_len = tracks.shape
+        e = self.track_encoder(
+            tracks.reshape(bs * num_tracks, 1, seq_len), train=train
+        )
+        return e.reshape(bs, num_tracks, -1)
+
+    def encode_mix(self, ref_mix: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(bs, 2, seq_len) -> (bs, 2, embed_dim)."""
+        if self.sum_and_diff:
+            mid = (ref_mix[:, 0:1, :] + ref_mix[:, 1:2, :])
+            side = (ref_mix[:, 0:1, :] - ref_mix[:, 1:2, :])
+            mid_e = self.mix_encoder(mid, train=train)
+            side_e = self.mix_encoder(side, train=train)
+            return jnp.stack([mid_e, side_e], axis=1)
+        e = self.mix_encoder(
+            ref_mix.reshape(ref_mix.shape[0] * 2, 1, ref_mix.shape[-1]), train=train
+        )
+        return e.reshape(ref_mix.shape[0], 2, -1)
+
+    def control(
+        self,
+        track_embeds: jnp.ndarray,
+        mix_embeds: jnp.ndarray,
+        track_padding_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        return self.controller(
+            track_embeds, mix_embeds, track_padding_mask, train=train
+        )
+
     def __call__(
         self,
         tracks: jnp.ndarray,
@@ -45,28 +84,9 @@ class MixStyleTransferModel(nn.Module):
         Returns:
           (track_params, fx_bus_params, master_bus_params), all in (0, 1).
         """
-        bs, num_tracks, seq_len = tracks.shape
-
-        track_embeds = self.track_encoder(
-            tracks.reshape(bs * num_tracks, 1, seq_len), train=train
-        )
-        track_embeds = track_embeds.reshape(bs, num_tracks, -1)
-
-        if self.sum_and_diff:
-            mid = (ref_mix[:, 0:1, :] + ref_mix[:, 1:2, :])
-            side = (ref_mix[:, 0:1, :] - ref_mix[:, 1:2, :])
-            mid_e = self.mix_encoder(mid, train=train)
-            side_e = self.mix_encoder(side, train=train)
-            mix_embeds = jnp.stack([mid_e, side_e], axis=1)
-        else:
-            mix_embeds = self.mix_encoder(
-                ref_mix.reshape(bs * 2, 1, ref_mix.shape[-1]), train=train
-            )
-            mix_embeds = mix_embeds.reshape(bs, 2, -1)
-
-        return self.controller(
-            track_embeds, mix_embeds, track_padding_mask, train=train
-        )
+        track_embeds = self.encode_tracks(tracks, train=train)
+        mix_embeds = self.encode_mix(ref_mix, train=train)
+        return self.control(track_embeds, mix_embeds, track_padding_mask, train=train)
 
     @staticmethod
     def build(

@@ -7,11 +7,18 @@ replicas. The TPU-native equivalent is a 2-D ``jax.sharding.Mesh``:
   * ``dp`` — data parallel over the batch axis. Gradients all-reduce over ICI
     implicitly when the jitted train step consumes dp-sharded batches with
     replicated parameters.
-  * ``mp`` — intra-example parallelism over the flattened batch*track axis
-    (the reference folds tracks into the batch at modules.py:223; that axis
-    is embarrassingly parallel through the per-track chain and the track
+  * ``mp`` — intra-example parallelism over the track axis (the reference
+    folds tracks into the batch at modules.py:223; that axis is
+    embarrassingly parallel through the per-track chain and the track
     encoder, so it shards cleanly even at batch size 1 — the 16-track recipe
-    trains with batch 1).
+    trains with batch 1). Implemented with explicit locality: the console's
+    per-track chain (console/console.py::_track_chain) and the model's
+    encoders (train/system.py::_apply_model_mp) run under shard_map on
+    local track shards — their FFTs never cross devices — while the
+    controller and losses stay global-view (XLA gathers embeddings over
+    ICI). Verified by tests/test_train.py::
+    test_mp_sharded_step_matches_single_device (dp=4 x mp=2 == unsharded)
+    and the driver dryrun.
 
 TP/PP/SP/EP are deliberately absent: the model is ~200M params (fits per
 chip), sequences are handled by windowing (SURVEY.md §5.7), and there are no

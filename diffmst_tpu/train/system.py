@@ -96,13 +96,22 @@ class System:
         loss,
         config: Optional[SystemConfig] = None,
         mix_fn: Callable = naive_random_mix,
+        mesh=None,
         **kwargs,
     ):
         """Extra keyword arguments use the reference ctor's flat names
         (generate_mix, active_eq_epoch, lr, max_epochs, schedule, ...;
         system.py:17-36) and override fields of ``config`` — so the shipped
         YAML configs instantiate this class directly. Unknown keys are
-        ignored like the reference's **kwargs."""
+        ignored like the reference's **kwargs.
+
+        ``mesh``: optional 2-D (dp, mp) device mesh. With ``mp > 1`` the
+        track axis is model-parallel: the track/mix encoders run under
+        shard_map on local track shards (build the model with
+        ``bn_axis_name=("dp", "mp")`` so BatchNorm statistics stay global),
+        while the controller and losses stay global-view. The console
+        must be constructed with the same mesh (its per-track chain shards
+        the same way)."""
         base = dataclasses.asdict(config) if config else {}
         names = {f.name for f in dataclasses.fields(SystemConfig)}
         base.update({k: v for k, v in kwargs.items() if k in names})
@@ -111,8 +120,13 @@ class System:
         self.loss = loss
         self.config = SystemConfig(**base)
         self.mix_fn = mix_fn
-        self.optimizer = self._make_optimizer()
+        self.mesh = mesh
         self._train_step_cache: Dict[EffectFlags, Callable] = {}
+        self.optimizer = self._make_optimizer()
+
+    @property
+    def _mp_sharded(self) -> bool:
+        return self.mesh is not None and self.mesh.shape.get("mp", 1) > 1
 
     # ------------------------------------------------------------ optimizer
     def _make_optimizer(self) -> optax.GradientTransformation:
@@ -169,6 +183,69 @@ class System:
             use_master_bus=epoch >= cfg.active_master_bus_epoch,
         )
 
+    # ------------------------------------------------- mp-sharded encoders
+    def _apply_model_mp(
+        self, variables, tracks_b, ref_mix_a, padding, train, mutable, batch_stats
+    ):
+        """Track-parallel model application over the (dp, mp) mesh.
+
+        The encoders (embarrassingly parallel over tracks / channels, and the
+        only FFT consumers in the model) run inside shard_map with tracks
+        sharded over ``mp``; the controller — which attends across all tracks
+        — runs global-view on the gathered embeddings (XLA inserts the
+        all-gather over ICI). BatchNorm must be built with
+        ``bn_axis_name=("dp", "mp")`` so batch statistics psum globally;
+        the resulting batch_stats are then identical on every device, which
+        is what the replicated out_spec asserts.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        model = self.model
+        if train and mutable:
+            enc = getattr(model.track_encoder, "bn_axis_name", None)
+            if enc is None:
+                raise ValueError(
+                    "mp-sharded training needs the model built with "
+                    f"bn_axis_name={tuple(self.mesh.axis_names)!r} so BatchNorm "
+                    "statistics reduce globally inside shard_map"
+                )
+
+        def encode(v, t, r):
+            te_out = model.apply(
+                v, t, train=train, mutable=mutable, method="encode_tracks"
+            )
+            me_out = model.apply(
+                v, r, train=train, mutable=mutable, method="encode_mix"
+            )
+            if mutable:
+                te, upd_t = te_out
+                me, upd_m = me_out
+                upd = {
+                    "batch_stats": {
+                        **upd_t.get("batch_stats", {}),
+                        **upd_m.get("batch_stats", {}),
+                    }
+                }
+                return te, me, upd
+            return te_out, me_out, {}
+
+        te, me, upd = shard_map(
+            encode,
+            mesh=self.mesh,
+            in_specs=(P(), P("dp", "mp", None), P("dp", None, None)),
+            out_specs=(P("dp", "mp", None), P("dp", None, None), P()),
+            check_vma=False,
+        )(variables, tracks_b, ref_mix_a)
+
+        new_batch_stats = upd.get("batch_stats", batch_stats) if mutable else batch_stats
+
+        ctrl_out = model.apply(
+            variables, te, me, padding, train=train, method="control",
+            mutable=False,
+        )
+        return ctrl_out, new_batch_stats
+
     # ---------------------------------------------------------- the step
     def _common(
         self,
@@ -211,20 +288,28 @@ class System:
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if (train and batch_stats) else False
-        out = self.model.apply(
-            variables,
-            tracks_b,
-            ref_mix_a,
-            batch.track_padding,
-            train=train,
-            mutable=mutable,
-        )
-        if mutable:
-            (pred_track, pred_fx, pred_master), updates = out
-            new_batch_stats = updates.get("batch_stats", batch_stats)
+        if self._mp_sharded:
+            (pred_track, pred_fx, pred_master), new_batch_stats = (
+                self._apply_model_mp(
+                    variables, tracks_b, ref_mix_a, batch.track_padding,
+                    train, mutable, batch_stats,
+                )
+            )
         else:
-            pred_track, pred_fx, pred_master = out
-            new_batch_stats = batch_stats
+            out = self.model.apply(
+                variables,
+                tracks_b,
+                ref_mix_a,
+                batch.track_padding,
+                train=train,
+                mutable=mutable,
+            )
+            if mutable:
+                (pred_track, pred_fx, pred_master), updates = out
+                new_batch_stats = updates.get("batch_stats", batch_stats)
+            else:
+                pred_track, pred_fx, pred_master = out
+                new_batch_stats = batch_stats
 
         render = self.mix_console(
             tracks_b,

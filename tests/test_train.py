@@ -149,3 +149,70 @@ def test_init_single_track(mrstft_system):
     )
     state = mrstft_system.init(key, batch)
     assert int(state.step) == 0
+
+
+def test_mp_sharded_step_matches_single_device():
+    """dp=4 x mp=2 (track-parallel encoders + console chain under shard_map)
+    computes the same loss/grads as the unsharded step (round-1 weak #4:
+    'prove or drop the mp axis')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(dp=4, mp=2)
+    bs, nt, t = 4, 4, T
+
+    def build(mesh_or_none, bn_axis):
+        model = MixStyleTransferModel.build(
+            embed_dim=64, num_layers=1, nhead=4, n_fft=2048, hop_length=128,
+            cnn_base_width=8, bn_axis_name=bn_axis,
+        )
+        return System(
+            model,
+            AdvancedMixConsole(SR, mesh=mesh_or_none),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            SystemConfig(steps_per_epoch=10, max_epochs=10, lr=1e-4),
+            mesh=mesh_or_none,
+        )
+
+    key = jax.random.PRNGKey(0)
+    batch = Batch(
+        tracks=jax.random.normal(key, (bs, nt, t)) * 10 ** (-24 / 20),
+        instrument_id=jnp.zeros((bs, nt), jnp.int32),
+        stereo_info=jnp.zeros((bs, nt), jnp.int32),
+        track_padding=jnp.zeros((bs, nt), bool),
+        ref_mix=jax.random.normal(key, (bs, 2, t // 2)) * 0.1,
+    )
+
+    sys_ref = build(None, None)
+    state = sys_ref.init(jax.random.PRNGKey(1), batch)
+    flags = sys_ref.effect_flags(0)
+    _, m_ref = sys_ref.make_train_step(flags, donate=False)(
+        state, batch, jax.random.PRNGKey(2)
+    )
+
+    sys_mp = build(mesh, ("dp", "mp"))
+    state_mp = jax.device_put(state, NamedSharding(mesh, P()))
+    batch_mp = Batch(
+        tracks=jax.device_put(batch.tracks, NamedSharding(mesh, P("dp", "mp", None))),
+        instrument_id=jax.device_put(
+            batch.instrument_id, NamedSharding(mesh, P("dp", "mp"))
+        ),
+        stereo_info=jax.device_put(
+            batch.stereo_info, NamedSharding(mesh, P("dp", "mp"))
+        ),
+        track_padding=jax.device_put(
+            batch.track_padding, NamedSharding(mesh, P("dp", "mp"))
+        ),
+        ref_mix=jax.device_put(batch.ref_mix, NamedSharding(mesh, P("dp", None, None))),
+    )
+    _, m_mp = sys_mp.make_train_step(flags, donate=False)(
+        state_mp, batch_mp, jax.random.PRNGKey(2)
+    )
+
+    np.testing.assert_allclose(
+        float(m_mp["loss"]), float(m_ref["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m_mp["grad_norm"]), float(m_ref["grad_norm"]), rtol=2e-3
+    )
