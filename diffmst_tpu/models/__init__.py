@@ -13,9 +13,12 @@ from diffmst_tpu.models.fx_encoder import (
     default_fx_encoder_config,
 )
 from diffmst_tpu.models.mst_model import MixStyleTransferModel
+from diffmst_tpu.models.separator import UNetSeparator, hpss_separator
 from diffmst_tpu.models.transformer import TransformerEncoder, TransformerEncoderLayer
 
 __all__ = [
+    "hpss_separator",
+    "UNetSeparator",
     "Cnn14",
     "ConvBlock",
     "TransformerController",

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hann_window", "frame_signal", "stft", "spectrogram_mag"]
+__all__ = ["hann_window", "frame_signal", "stft", "istft", "spectrogram_mag"]
 
 
 @functools.lru_cache(maxsize=32)
@@ -91,6 +91,61 @@ def stft(
     frames = frame_signal(x, n_fft, hop_length)  # (..., n_fft, F)
     frames = frames * window[..., :, None]
     return jnp.fft.rfft(frames, axis=-2)
+
+
+def _ola(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add (..., frame_len, F) frames at stride ``hop`` -> (..., T').
+
+    Inverse of ``frame_signal``'s fast path: frames k, k+r, k+2r, ... (with
+    r = frame_len // hop) start at k*hop + j*frame_len — contiguous,
+    non-overlapping — so each of the r phases is one reshape, and the OLA is
+    the sum of r shift-padded streams. Pure data movement + adds.
+    """
+    lead = frames.shape[:-2]
+    frame_len, num_frames = frames.shape[-2:]
+    assert frame_len % hop == 0, "istft requires hop | n_fft"
+    r = frame_len // hop
+    m = (num_frames - 1) // r + 1
+    fpad = m * r - num_frames
+    fr = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, fpad)])
+    total = (r - 1) * hop + m * frame_len
+    acc = jnp.zeros(lead + (total,), frames.dtype)
+    for k in range(r):
+        chunk = jnp.moveaxis(fr[..., :, k::r], -1, -2).reshape(lead + (m * frame_len,))
+        acc = acc + jnp.pad(
+            chunk,
+            [(0, 0)] * (len(lead)) + [(k * hop, (r - 1 - k) * hop)],
+        )
+    return acc[..., : (num_frames - 1) * hop + frame_len]
+
+
+def istft(
+    X: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    length: int,
+    center: bool = True,
+    window: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT of (..., n_fft//2+1, frames) -> (..., length).
+
+    torch.istft-compatible: windowed OLA with window-square envelope
+    normalization (exact reconstruction for Hann with hop | n_fft).
+    """
+    if window is None:
+        window = jnp.asarray(hann_window(n_fft))
+    frames = jnp.fft.irfft(X, n=n_fft, axis=-2) * window[:, None]
+    y = _ola(frames, hop_length)
+    wsq = _ola(
+        jnp.broadcast_to(
+            (window ** 2)[:, None], (n_fft, X.shape[-1])
+        ),
+        hop_length,
+    )
+    y = y / jnp.maximum(wsq, 1e-11)
+    if center:
+        y = y[..., n_fft // 2 :]
+    return y[..., :length]
 
 
 def spectrogram_mag(

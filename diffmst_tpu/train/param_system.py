@@ -8,11 +8,13 @@ regress the random console parameters from the (input, remix) pair — MSE per
 parameter group scaled by parameter counts (param_system.py:89-107).
 
 Source separation: the reference uses torchaudio's HDEMUCS_HIGH_MUSDB_PLUS
-(modules.py:496) — not available in this image (no torchaudio). The
-separator is therefore pluggable: any ``(bs, 2, T) -> (bs, 4, 2, T)``
-callable. The default ``band_split_separator`` is a deterministic 4-band
-frequency split (stems sum exactly back to the mix); swap in a real
-separation model where available.
+(modules.py:496) — its pretrained weights are not downloadable in this
+environment. The separator is pluggable: any ``(bs, 2, T) -> (bs, 4, 2, T)``
+callable. The default is ``models.separator.hpss_separator`` — real
+(unsupervised) spectral-mask separation into drums/bass/other/vocals that
+needs no weights; ``models.separator.UNetSeparator`` is the trainable /
+weight-loadable alternative, and ``band_split_separator`` remains as the
+trivial deterministic fallback.
 """
 
 from __future__ import annotations
@@ -46,12 +48,18 @@ def band_split_separator(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(stems, axis=1)  # (bs, 4, 2, t)
 
 
+def _default_separator(x: jnp.ndarray) -> jnp.ndarray:
+    from diffmst_tpu.models.separator import hpss_separator
+
+    return hpss_separator(x)
+
+
 @dataclasses.dataclass(frozen=True)
 class Remixer:
     """Separate -> randomize console params -> remix (modules.py:502-554)."""
 
     sample_rate: float = 44100.0
-    separator: Callable = band_split_separator
+    separator: Callable = _default_separator
     headroom_db: float = -48.0
     clip_level: float = 4.0
 

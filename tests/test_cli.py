@@ -190,6 +190,7 @@ def test_cli_mesh_wiring(tmp_path, dataset_dir):  # noqa: F811
     assert int(state.step) == 1
 
 
+@pytest.mark.smoke
 def test_csvlogger_stays_aligned(tmp_path):
     """New keys in later rows widen the header instead of shifting columns
     (round-1 weak #5)."""
@@ -218,6 +219,7 @@ def test_csvlogger_stays_aligned(tmp_path):
     assert rows[4]["tag"] == "val" and rows[4]["loss"] == "0.3"
 
 
+@pytest.mark.smoke
 def test_prefetch_pipeline():
     """Background prefetch yields identical batches in order and propagates
     loader exceptions."""

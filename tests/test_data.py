@@ -61,6 +61,7 @@ def dataset_dir(tmp_path_factory):
     return root, str(meta_path), str(mix_meta)
 
 
+@pytest.mark.smoke
 def test_audio_io_roundtrip(tmp_path):
     x = (np.random.default_rng(0).normal(size=(2, 1000)) * 0.1).astype(np.float32)
     p = str(tmp_path / "a.wav")

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffmst_tpu.kernels import onepole_core, onepole_scan
 
@@ -17,6 +18,7 @@ def _ref_onepole(b, alpha):
     return y
 
 
+@pytest.mark.smoke
 def test_onepole_core_matches_sequential():
     rng = np.random.default_rng(0)
     b = rng.normal(size=(3, 1000)).astype(np.float32)
@@ -87,6 +89,7 @@ def test_onepole_scan_grad_matches_autodiff():
     np.testing.assert_allclose(np.asarray(ak), np.asarray(ar), rtol=2e-3, atol=1e-2)
 
 
+@pytest.mark.smoke
 def test_onepole_scan_tv_matches_sequential():
     """Time-varying kernel path == per-sample sequential reference."""
     from diffmst_tpu.kernels import onepole_scan_tv
@@ -149,6 +152,7 @@ def test_compressor_scan_pallas_backend_matches_scan():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_scan), atol=2e-5)
 
 
+@pytest.mark.smoke
 def test_decoupled_release_min_scan_matches_sequential():
     """The associative min-affine scan == the sequential release recurrence."""
     from diffmst_tpu.ops.compressor import _release_min_scan

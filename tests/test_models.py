@@ -171,3 +171,67 @@ def test_bf16_compute_close_to_f32():
     tp16, _, _ = m16.apply(v, tracks, ref)  # same params, bf16 compute
     assert tp16.dtype == jnp.float32  # outputs cast back
     assert np.abs(np.asarray(tp32) - np.asarray(tp16)).max() < 0.05
+
+
+def test_istft_roundtrip():
+    from diffmst_tpu.ops.stft import istft, stft
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 2, 16384)).astype(np.float32) * 0.1)
+    X = stft(x, 2048, 512)
+    y = istft(X, 2048, 512, length=16384)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+
+def test_hpss_separator_separates():
+    """Real spectral separation (round-1 missing #6): clicks land in the
+    drums stem, an 80 Hz tone in bass, a center 1 kHz tone in vocals; stems
+    sum back to the mix."""
+    from diffmst_tpu.models.separator import hpss_separator
+
+    sr, t = 44100.0, 65536
+    n = np.arange(t)
+    bass = 0.3 * np.sin(2 * np.pi * 80.0 * n / sr)
+    vocal = 0.3 * np.sin(2 * np.pi * 1000.0 * n / sr)
+    clicks = np.zeros(t)
+    clicks[::4096] = 1.0
+    mix_l = bass + vocal + clicks
+    mix_r = bass + vocal + clicks  # all center-panned
+    x = jnp.asarray(np.stack([mix_l, mix_r])[None].astype(np.float32))
+
+    stems = np.asarray(hpss_separator(x, sr))  # (1, 4, 2, t): dr, ba, ot, vo
+    assert stems.shape == (1, 4, 2, t)
+    # reconstruction: masks sum to 1
+    np.testing.assert_allclose(stems.sum(axis=1), np.asarray(x), atol=5e-3)
+
+    def band_energy(sig, lo, hi):
+        S = np.abs(np.fft.rfft(sig))
+        f = np.fft.rfftfreq(t, 1 / sr)
+        return float((S[(f >= lo) & (f < hi)] ** 2).sum())
+
+    drums, bass_s, other, vocals = stems[0, :, 0]
+    # 80 Hz energy concentrates in the bass stem
+    e80 = [band_energy(s, 70, 90) for s in (drums, bass_s, other, vocals)]
+    assert e80[1] > 3 * max(e80[0], e80[2], e80[3])
+    # 1 kHz energy concentrates in the vocal stem (center-panned harmonic)
+    e1k = [band_energy(s, 950, 1050) for s in (drums, bass_s, other, vocals)]
+    assert e1k[3] > 3 * max(e1k[0], e1k[1], e1k[2])
+    # click (broadband transient) energy: drums stem dominates at 5-15 kHz
+    ehf = [band_energy(s, 5000, 15000) for s in (drums, bass_s, other, vocals)]
+    assert ehf[0] > 2 * max(ehf[1], ehf[2], ehf[3])
+
+
+def test_unet_separator_shapes_and_reconstruction():
+    from diffmst_tpu.models.separator import UNetSeparator
+
+    sep = UNetSeparator(base_width=4, levels=2, n_fft=512, hop=128)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 2, 8192)).astype(np.float32) * 0.1)
+    vars_ = sep.init(jax.random.PRNGKey(0), x)
+    stems = sep.apply(vars_, x)
+    assert stems.shape == (2, 4, 2, 8192)
+    # softmax masks sum to 1 -> stems sum to the (exact) STFT round trip
+    np.testing.assert_allclose(
+        np.asarray(stems.sum(axis=1)), np.asarray(x), atol=2e-4
+    )
+    assert np.isfinite(np.asarray(stems)).all()

@@ -20,6 +20,7 @@ SR = 44100.0
 
 
 # ---------------------------------------------------------------- gain / pan
+@pytest.mark.smoke
 def test_gain_db_scaling():
     x = jnp.ones((2, 1, 16))
     y = ops.gain(x, SR, jnp.array([6.0, -6.0]))
@@ -27,6 +28,7 @@ def test_gain_db_scaling():
     np.testing.assert_allclose(y[1], 10 ** (-6 / 20), rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_gain_per_channel():
     x = jnp.ones((1, 2, 8))
     y = ops.gain(x, SR, jnp.array([[0.0, -20.0]]))
@@ -34,6 +36,7 @@ def test_gain_per_channel():
     np.testing.assert_allclose(y[0, 1], 0.1, rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_panner_extremes_and_center():
     x = jnp.ones((1, 3, 4))
     pan = jnp.array([[0.0, 0.5, 1.0]])

@@ -1,5 +1,6 @@
 """Tests for inference OLA, config registry, and torch checkpoint porting."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -203,3 +204,27 @@ def test_cnn14_torch_port_numerical():
         ty = F.avg_pool2d(ty, (2, 2))
         ref = np.transpose(ty.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
+
+
+def test_plotting_helpers(tmp_path):
+    """plot_spectrograms / plot_confusion_matrix produce images and save to
+    disk (reference callbacks/plotting.py:15-131)."""
+    from diffmst_tpu.callbacks.plotting import (
+        plot_confusion_matrix,
+        plot_spectrograms,
+    )
+
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=16384).astype(np.float32) * 0.1
+    p = str(tmp_path / "spec.png")
+    img = plot_spectrograms(sig, sig * 0.5, sig * 0.25, filename=p)
+    assert img is not None and img.ndim == 3 and img.shape[2] == 3
+    assert img.dtype == np.uint8
+    assert os.path.exists(p)
+
+    cm = plot_confusion_matrix(
+        [0, 1, 2, 1], [0, 1, 1, 1], labels=["a", "b", "c"],
+        filename=str(tmp_path / "cm.png"),
+    )
+    assert cm is not None and cm.dtype == np.uint8
+    assert os.path.exists(str(tmp_path / "cm.png"))
