@@ -243,6 +243,29 @@ def compressor(
         return jnp.broadcast_to(p.reshape(bs, -1), (bs, chs)).reshape(bs * chs)
 
     flat = x.reshape(bs * chs, seq_len)
+    if smoother in ("fused_pallas", "fused_pallas_interpret"):
+        # single-pass Pallas kernel: detector + knee + scan + gain application
+        # (kernels/comp_fused.py); numerics == the "scan" path.
+        from diffmst_tpu.kernels.comp_fused import compressor_fused_gain
+
+        delayed = (
+            jnp.roll(flat, lookahead_samples, axis=-1)
+            if lookahead_samples > 0
+            else flat
+        )
+        y = compressor_fused_gain(
+            flat,
+            delayed,
+            bc(threshold_db),
+            bc(ratio),
+            bc(knee_db),
+            _ballistics_coeff(bc(attack_ms), sample_rate),
+            bc(makeup_gain_db),
+            512,
+            eps,
+            smoother.endswith("interpret"),
+        )
+        return y.reshape(bs, chs, seq_len).astype(x.dtype)
     g_s = compressor_gain_db(
         flat,
         sample_rate,

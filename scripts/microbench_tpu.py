@@ -24,7 +24,7 @@ from diffmst_tpu.utils.profiler import device_timer
 
 SR = 44100.0
 B, T = 8, 262144
-SMOOTHERS = ["fsm", "scan", "scan_pallas", "decoupled", "decoupled_pallas"]
+SMOOTHERS = ["fsm", "scan", "scan_pallas", "fused_pallas", "decoupled", "decoupled_pallas"]
 
 
 def bench_smoothers(results):

@@ -231,3 +231,46 @@ def test_compressor_decoupled_backend_grads_finite():
 
     grad = jax.grad(loss)(jnp.array([-24.0, -18.0]))
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_compressor_fused_pallas_matches_scan():
+    """Fused kernel (detector+knee+scan+gain in one pass) == 'scan' path,
+    values and gradients."""
+    from diffmst_tpu import ops
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 2, 4096)).astype(np.float32) * 0.3)
+    kw = dict(
+        threshold_db=jnp.array([-24.0, -15.0]),
+        ratio=jnp.array([4.0, 2.5]),
+        attack_ms=jnp.array([12.0, 40.0]),
+        release_ms=jnp.array([100.0, 60.0]),
+        knee_db=jnp.array([6.0, 3.0]),
+        makeup_gain_db=jnp.array([1.0, 0.0]),
+        lookahead_samples=512,
+    )
+    y_scan = np.asarray(ops.compressor(x, 44100.0, smoother="scan", **kw))
+    y_fused = np.asarray(
+        ops.compressor(x, 44100.0, smoother="fused_pallas_interpret", **kw)
+    )
+    np.testing.assert_allclose(y_fused, y_scan, atol=3e-5)
+
+    def loss(smoother):
+        def f(thr, xx):
+            y = ops.compressor(
+                xx, 44100.0, smoother=smoother,
+                **{**kw, "threshold_db": thr},
+            )
+            return jnp.sum(jnp.square(y))
+        return f
+
+    g_scan = jax.grad(loss("scan"), argnums=(0, 1))(kw["threshold_db"], x)
+    g_fused = jax.grad(loss("fused_pallas_interpret"), argnums=(0, 1))(
+        kw["threshold_db"], x
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_fused[0]), np.asarray(g_scan[0]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_fused[1]), np.asarray(g_scan[1]), rtol=1e-4, atol=1e-4
+    )
