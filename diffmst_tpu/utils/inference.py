@@ -25,7 +25,7 @@ import numpy as np
 from diffmst_tpu.ops.loudness import integrated_loudness
 from diffmst_tpu.ops.stft import hann_window
 
-__all__ = ["run_diffmst", "overlap_add_render"]
+__all__ = ["run_diffmst", "overlap_add_render", "overlap_save_render"]
 
 
 def overlap_add_render(
@@ -70,6 +70,54 @@ def overlap_add_render(
     return out[..., :total]
 
 
+def overlap_save_render(
+    render_window: Callable[[jnp.ndarray], jnp.ndarray],
+    tracks: np.ndarray,
+    block_len: int,
+    context_len: int = 65536,
+) -> np.ndarray:
+    """Streaming (overlap-save) full-length render: no cross-fade seams.
+
+    Hann OLA (the reference method, utils.py:123-166) cross-fades two
+    *different* renders whose compressor envelopes and EQ boundary states
+    disagree. Here every output block is cut from a render primed with
+    ``context_len`` samples of true left context — the compressor ballistics
+    (attack/release <= 250 ms ~ 11k samples) and the EQ's effective impulse
+    response converge inside the context, so consecutive blocks agree with a
+    single full-length render (asserted in tests) instead of being blended.
+    Compute factor (block+context)/block vs OLA's fixed 2x.
+
+    Args:
+      render_window: (bs, num_tracks, context+block) -> (bs, 2, context+block).
+      tracks: (1, num_tracks, total_len) normalized stems (host array).
+      block_len: output samples per block (e.g. 131072).
+      context_len: warm-up samples prepended to each block.
+
+    Returns:
+      (1, 2, total_len) rendered mix (host array).
+    """
+    total = tracks.shape[-1]
+    win_len = context_len + block_len
+    starts = list(range(0, total, block_len))
+
+    wins = []
+    for s in starts:
+        lo = s - context_len
+        w = tracks[0, :, max(lo, 0) : s + block_len]
+        pad_l = max(0, -lo)
+        pad_r = win_len - w.shape[-1] - pad_l
+        if pad_l or pad_r:
+            w = np.pad(w, ((0, 0), (pad_l, pad_r)))
+        wins.append(w)
+    batch = jnp.asarray(np.stack(wins))  # (n_win, num_tracks, win_len)
+    rendered = np.asarray(render_window(batch))  # (n_win, 2, win_len)
+
+    out = np.zeros((1, 2, len(starts) * block_len), np.float32)
+    for i, s in enumerate(starts):
+        out[0, :, s : s + block_len] = rendered[i][:, context_len:]
+    return out[..., :total]
+
+
 def run_diffmst(
     tracks: np.ndarray,
     ref: np.ndarray,
@@ -81,6 +129,7 @@ def run_diffmst(
     sample_rate: float = 44100.0,
     use_fx_bus: bool = False,
     key: Optional[jax.Array] = None,
+    render_mode: str = "ola",
 ) -> Tuple[np.ndarray, dict, dict, dict]:
     """Full-song mix style transfer.
 
@@ -91,6 +140,10 @@ def run_diffmst(
         bind parameters first, e.g.
         ``lambda t, r: model.apply(variables, t, r)``.
       mix_console: console instance.
+      render_mode: "ola" — the reference's Hann overlap-add (utils.py:123-166);
+        "streaming" — seam-free overlap-save block rendering (see
+        overlap_save_render), recommended with the causal ("auto"/"scan")
+        compressor smoother.
 
     Returns:
       (pred_mix (1, 2, total_len), track_param_dict, fx_param_dict,
@@ -140,7 +193,13 @@ def run_diffmst(
         )
         return out.mix
 
-    pred_mix = overlap_add_render(render_window, norm_tracks, analysis_len)
+    if render_mode == "streaming":
+        pred_mix = overlap_save_render(
+            render_window, norm_tracks, block_len=analysis_len // 2,
+            context_len=analysis_len // 4,
+        )
+    else:
+        pred_mix = overlap_add_render(render_window, norm_tracks, analysis_len)
 
     td, fd, md = mix_console.param_dicts(tp, fp, mp)
     return pred_mix, td, fd, md

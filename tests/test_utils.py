@@ -228,3 +228,47 @@ def test_plotting_helpers(tmp_path):
     )
     assert cm is not None and cm.dtype == np.uint8
     assert os.path.exists(str(tmp_path / "cm.png"))
+
+
+def test_streaming_render_matches_one_shot():
+    """Overlap-save streaming render == single full-length render in the
+    interior (the causal-smoother state converges inside the context);
+    Hann OLA — which cross-fades disagreeing renders — is an order of
+    magnitude worse there. (SURVEY §5.7: state continuity across blocks.)"""
+    from diffmst_tpu.console import AdvancedMixConsole
+    from diffmst_tpu.utils.inference import (
+        overlap_add_render,
+        overlap_save_render,
+    )
+
+    console = AdvancedMixConsole(44100.0, comp_smoother="scan")
+    key = jax.random.PRNGKey(0)
+    T = 98304
+    tracks = np.asarray(
+        jax.random.normal(key, (1, 3, T), jnp.float32) * 10 ** (-24 / 20)
+    )
+    k1, k2, k3 = jax.random.split(key, 3)
+    tp0 = jax.random.uniform(k1, (1, 3, 27))
+    fp0 = jax.random.uniform(k2, (1, 25))
+    mp0 = jax.random.uniform(k3, (1, 26))
+
+    @jax.jit
+    def render(wins):
+        n = wins.shape[0]
+        return console(
+            wins, jnp.tile(tp0, (n, 1, 1)), jnp.tile(fp0, (n, 1)),
+            jnp.tile(mp0, (n, 1)), use_fx_bus=False,
+        ).mix
+
+    one = np.asarray(render(jnp.asarray(tracks)))
+    ols = overlap_save_render(render, tracks, block_len=16384, context_len=16384)
+    ola = overlap_add_render(render, tracks, 32768)
+
+    peak = np.abs(one).max()
+    # skip the first block: every method (including the one-shot itself)
+    # has circular-wrap artifacts at t=0 from the freq-sampling EQ and the
+    # circular lookahead roll
+    err_ols = np.abs(ols - one)[..., 16384:].max() / peak
+    err_ola = np.abs(ola - one)[..., 16384:].max() / peak
+    assert err_ols < 1e-3, err_ols
+    assert err_ols < 0.1 * err_ola  # streaming strictly better than OLA
