@@ -98,13 +98,14 @@ def bench_console(jax, jnp):
     return (bs * seq_len / sr) / per_step
 
 
-def bench_train_step(jax, jnp):
+def bench_train_step(jax, jnp, bs=4):
     """Full Method-1 train step (model+console+MRSTFT fwd+bwd+Adam), 4x8x262144.
 
     Reference recipe shape: configs/data/medley+cambridge-8.yaml:10-13. Model
     is the shipped flagship config (embed 512, 12-layer controller, dual
     Cnn14 encoders). Returns (steps_per_sec, realtime_factor) where realtime
-    counts batch * seq_len audio-seconds per step.
+    counts batch * seq_len audio-seconds per step. Falls back to bs=1 in
+    main() if the full recipe batch does not fit HBM.
     """
     from diffmst_tpu.console import AdvancedMixConsole
     from diffmst_tpu.losses import MultiResolutionSTFTLoss
@@ -112,7 +113,7 @@ def bench_train_step(jax, jnp):
     from diffmst_tpu.train import Batch, System, SystemConfig
 
     sr = 44100.0
-    bs, num_tracks, seq_len = 4, 8, 262144
+    num_tracks, seq_len = 8, 262144
     system = System(
         MixStyleTransferModel.build(),
         AdvancedMixConsole(sr),
@@ -166,12 +167,16 @@ def run_once():
         "backend": backend,
     }
     if os.environ.get("BENCH_SKIP_TRAIN_STEP", "") != "1":
-        try:
-            steps_per_sec, train_rtf = bench_train_step(jax, jnp)
-            result["train_step_steps_per_sec"] = round(steps_per_sec, 3)
-            result["train_step_realtime_factor_4x8x262144"] = round(train_rtf, 1)
-        except Exception as exc:  # console number still stands alone
-            result["train_step_error"] = f"{type(exc).__name__}: {exc}"
+        for bs in (4, 1):
+            try:
+                steps_per_sec, train_rtf = bench_train_step(jax, jnp, bs=bs)
+                result["train_step_steps_per_sec"] = round(steps_per_sec, 3)
+                result[f"train_step_realtime_factor_{bs}x8x262144"] = round(
+                    train_rtf, 1
+                )
+                break
+            except Exception as exc:  # console number still stands alone
+                result["train_step_error"] = f"bs={bs}: {type(exc).__name__}: {exc}"
     return result
 
 
