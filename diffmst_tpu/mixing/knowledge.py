@@ -120,6 +120,27 @@ def _norm_clip(value: float, rng_pair) -> float:
     return float(np.clip(normalize(value, lo, hi), 0.0, 1.0))
 
 
+def _load_vendored_ke() -> Dict:
+    """Default KE ranges: the vendored reference metadata
+    (data/knowledge_engineering.yaml at the repo root)."""
+    import os
+
+    import yaml
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data",
+        "knowledge_engineering.yaml",
+    )
+    if not os.path.exists(path):
+        raise ValueError(
+            "knowledge_engineering_mix: pass ke_dict= or vendor "
+            "data/knowledge_engineering.yaml at the repo root"
+        )
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
 def knowledge_engineering_mix(
     tracks: jnp.ndarray,
     mix_console,
@@ -140,7 +161,7 @@ def knowledge_engineering_mix(
 ) -> NaiveRandomMix:
     """Instrument-aware heuristic mix; returns the naive_random_mix 8-tuple."""
     if ke_dict is None:
-        raise ValueError("knowledge_engineering_mix requires ke_dict")
+        ke_dict = _load_vendored_ke()
     bs, num_tracks, _ = tracks.shape
     rng = np.random.default_rng(seed)
     ranges = mix_console.param_ranges

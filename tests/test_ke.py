@@ -95,3 +95,20 @@ def test_ke_unknown_instrument_uses_default():
     )
     g = np.asarray(out.track_param_dict["input_fader"]["gain_db"])
     assert ((g >= -12.01) & (g <= -5.99)).all()
+
+
+def test_ke_mix_uses_vendored_yaml_by_default():
+    """With the reference metadata vendored, KE mixing needs no explicit
+    ke_dict (real per-class ranges from data/knowledge_engineering.yaml)."""
+    from diffmst_tpu.console import AdvancedMixConsole
+
+    console = AdvancedMixConsole(44100.0)
+    tracks = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 2, 16384)).astype(np.float32)
+        * 0.01
+    )
+    out = knowledge_engineering_mix(
+        tracks, console, use_fx_bus=False, key=jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(np.asarray(out.mix)).all()
+    assert out.mix.shape == (1, 2, 16384)
