@@ -211,11 +211,18 @@ class AdvancedMixConsole:
         def flat(p):  # (bs, num_tracks) -> (bs*num_tracks,)
             return p.reshape(bs * num_tracks)
 
+        fader_lin = None
         if use_track_input_fader:
-            x = ops.gain(x, sr, flat(track_param_dict["input_fader"]["gain_db"]))
+            fader_lin = ops.db_to_linear(
+                flat(track_param_dict["input_fader"]["gain_db"])
+            )
+            if not use_track_eq:
+                x = x * fader_lin[:, None, None]
         if use_track_eq:
             eq = {k: flat(v) for k, v in track_param_dict["parametric_eq"].items()}
-            x = ops.parametric_eq(x, sr, **eq)
+            # fader folds into the EQ's frequency response: one fewer full
+            # (B, T) HBM round trip (elementwise can't fuse into the FFT call)
+            x = ops.parametric_eq(x, sr, linear_gain=fader_lin, **eq)
         if use_track_compressor:
             comp = {k: flat(v) for k, v in track_param_dict["compressor"].items()}
             x = ops.compressor(

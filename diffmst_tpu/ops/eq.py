@@ -105,13 +105,20 @@ def parametric_eq_response(
 
 
 def parametric_eq(
-    x: jnp.ndarray, sample_rate: float, **eq_params: jnp.ndarray
+    x: jnp.ndarray,
+    sample_rate: float,
+    linear_gain: jnp.ndarray | None = None,
+    **eq_params: jnp.ndarray,
 ) -> jnp.ndarray:
     """Apply the 6-band parametric EQ to audio.
 
     Args:
       x: audio with shape (batch, channels, time).
       sample_rate: sample rate in Hz (static).
+      linear_gain: optional per-batch linear gain folded into the frequency
+        response — a fader in series with the EQ costs no extra HBM pass
+        (the console folds the input fader here; a time-domain pre-multiply
+        cannot fuse into the FFT library call).
       **eq_params: the 18 named band parameters, each with shape (batch,)
         (one filter per batch item, shared across channels — matching the
         reference call sites modules.py:237-241 and modules.py:293-297).
@@ -122,6 +129,8 @@ def parametric_eq(
     """
     n = x.shape[-1]
     H = parametric_eq_response(sample_rate, n, **eq_params)  # (batch, bins)
+    if linear_gain is not None:
+        H = H * linear_gain[:, None].astype(H.real.dtype)
     X = jnp.fft.rfft(x, n=n, axis=-1)
     y = jnp.fft.irfft(X * H[:, None, :], n=n, axis=-1)
     return y.astype(x.dtype)

@@ -166,3 +166,27 @@ def test_naive_random_mix_deterministic_per_key(tracks):
     np.testing.assert_allclose(np.asarray(a.mix), np.asarray(b.mix))
     c2 = naive_random_mix(tracks, c, jax.random.PRNGKey(8))
     assert np.abs(np.asarray(a.mix) - np.asarray(c2.mix)).max() > 1e-6
+
+
+def test_fader_folded_into_eq_matches_series():
+    """Folding the input fader into the EQ response == fader then EQ."""
+    from diffmst_tpu import ops
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 1, 8192)) * 0.1
+    gains_db = jnp.array([-6.0, 0.0, 12.0])
+    p = {}
+    from diffmst_tpu.console.ranges import advanced_param_ranges
+
+    for i, (k, (lo, hi)) in enumerate(
+        advanced_param_ranges(SR)["parametric_eq"].items()
+    ):
+        p[k] = jax.random.uniform(jax.random.fold_in(key, i), (3,), None, lo, hi)
+
+    series = ops.parametric_eq(ops.gain(x, SR, gains_db), SR, **p)
+    folded = ops.parametric_eq(
+        x, SR, linear_gain=ops.db_to_linear(gains_db), **p
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(series), atol=2e-5
+    )
