@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--section_len", type=int, default=441000)
     ap.add_argument("--num_sections", type=int, default=2)
     ap.add_argument("--output_lufs", type=float, default=-22.0)
+    ap.add_argument("--render_mode", default="ola", choices=["ola", "streaming"],
+                    help="'streaming' = seam-free overlap-save rendering")
+    ap.add_argument("--comp_smoother", default="auto",
+                    help="console compressor smoother (auto/fsm/scan/decoupled)")
     args = ap.parse_args()
 
     from diffmst_tpu.models import MixStyleTransferModel
@@ -97,7 +101,7 @@ def main():
         embed_dim=args.embed_dim, num_layers=args.num_layers,
         cnn_base_width=args.cnn_base_width,
     )
-    console = AdvancedMixConsole(float(SR))
+    console = AdvancedMixConsole(float(SR), comp_smoother=args.comp_smoother)
 
     variables = None
     if args.ckpt:
@@ -144,6 +148,7 @@ def main():
                 mix, *_ = run_diffmst(
                     tracks, ref, apply, console,
                     track_start_idx=ti, ref_start_idx=ri,
+                    render_mode=args.render_mode,
                 )
                 methods["diffmst"] = mix
             for method, mix in methods.items():

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--embed_dim", type=int, default=512)
     ap.add_argument("--num_layers", type=int, default=12)
     ap.add_argument("--cnn_base_width", type=int, default=64)
+    ap.add_argument("--render_mode", default="ola", choices=["ola", "streaming"])
+    ap.add_argument("--comp_smoother", default="auto")
     args = ap.parse_args()
 
     stems = []
@@ -69,8 +71,8 @@ def main():
         )
 
     apply = jax.jit(lambda t, r: model.apply(variables, t, r))
-    console = AdvancedMixConsole(44100.0)
-    mix, *_ = run_diffmst(tracks, ref[None], apply, console)
+    console = AdvancedMixConsole(44100.0, comp_smoother=args.comp_smoother)
+    mix, *_ = run_diffmst(tracks, ref[None], apply, console, render_mode=args.render_mode)
     write_audio(args.output, mix[0] / max(np.abs(mix).max(), 1e-8), 44100)
     print(f"wrote {args.output}")
 
