@@ -98,7 +98,7 @@ def bench_console(jax, jnp):
     return (bs * seq_len / sr) / per_step
 
 
-def bench_train_step(jax, jnp, bs=4, compute_dtype=None):
+def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False):
     """Full Method-1 train step (model+console+MRSTFT fwd+bwd+Adam), 4x8x262144.
 
     Reference recipe shape: configs/data/medley+cambridge-8.yaml:10-13. Model
@@ -115,7 +115,7 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None):
     sr = 44100.0
     num_tracks, seq_len = 8, 262144
     system = System(
-        MixStyleTransferModel.build(compute_dtype=compute_dtype),
+        MixStyleTransferModel.build(compute_dtype=compute_dtype, remat_encoders=remat),
         AdvancedMixConsole(sr),
         MultiResolutionSTFTLoss(),
         SystemConfig(steps_per_epoch=100, max_epochs=100),
@@ -167,22 +167,27 @@ def run_once():
         "backend": backend,
     }
     if os.environ.get("BENCH_SKIP_TRAIN_STEP", "") != "1":
-        good_bs = None
-        for bs in (4, 1):
+        good = None
+        for bs, remat in ((4, False), (4, True), (1, False)):
             try:
-                steps_per_sec, train_rtf = bench_train_step(jax, jnp, bs=bs)
+                steps_per_sec, train_rtf = bench_train_step(
+                    jax, jnp, bs=bs, remat=remat
+                )
+                key_sfx = f"{bs}x8x262144" + ("_remat" if remat else "")
                 result["train_step_steps_per_sec"] = round(steps_per_sec, 3)
-                result[f"train_step_realtime_factor_{bs}x8x262144"] = round(
+                result[f"train_step_realtime_factor_{key_sfx}"] = round(
                     train_rtf, 1
                 )
-                good_bs = bs
+                good = (bs, remat)
                 break
             except Exception as exc:  # console number still stands alone
-                result["train_step_error"] = f"bs={bs}: {type(exc).__name__}: {exc}"
-        if good_bs is not None and os.environ.get("BENCH_SKIP_BF16", "") != "1":
+                result["train_step_error"] = (
+                    f"bs={bs} remat={remat}: {type(exc).__name__}: {exc}"
+                )
+        if good is not None and os.environ.get("BENCH_SKIP_BF16", "") != "1":
             try:
                 sps16, rtf16 = bench_train_step(
-                    jax, jnp, bs=good_bs, compute_dtype="bfloat16"
+                    jax, jnp, bs=good[0], remat=good[1], compute_dtype="bfloat16"
                 )
                 result["train_step_steps_per_sec_bf16"] = round(sps16, 3)
                 result["train_step_realtime_factor_bf16"] = round(rtf16, 1)

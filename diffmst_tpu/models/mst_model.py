@@ -40,7 +40,7 @@ class MixStyleTransferModel(nn.Module):
         """
         bs, num_tracks, seq_len = tracks.shape
         e = self.track_encoder(
-            tracks.reshape(bs * num_tracks, 1, seq_len), train=train
+            tracks.reshape(bs * num_tracks, 1, seq_len), train
         )
         return e.reshape(bs, num_tracks, -1)
 
@@ -49,11 +49,11 @@ class MixStyleTransferModel(nn.Module):
         if self.sum_and_diff:
             mid = (ref_mix[:, 0:1, :] + ref_mix[:, 1:2, :])
             side = (ref_mix[:, 0:1, :] - ref_mix[:, 1:2, :])
-            mid_e = self.mix_encoder(mid, train=train)
-            side_e = self.mix_encoder(side, train=train)
+            mid_e = self.mix_encoder(mid, train)
+            side_e = self.mix_encoder(side, train)
             return jnp.stack([mid_e, side_e], axis=1)
         e = self.mix_encoder(
-            ref_mix.reshape(ref_mix.shape[0] * 2, 1, ref_mix.shape[-1]), train=train
+            ref_mix.reshape(ref_mix.shape[0] * 2, 1, ref_mix.shape[-1]), train
         )
         return e.reshape(ref_mix.shape[0], 2, -1)
 
@@ -102,15 +102,27 @@ class MixStyleTransferModel(nn.Module):
         bn_axis_name: Optional[str] = None,
         cnn_base_width: int = 64,
         compute_dtype: Optional[str] = None,
+        remat_encoders: bool = False,
     ) -> "MixStyleTransferModel":
         """The shipped configuration (configs/models/naive.yaml:30-52).
 
         ``compute_dtype="bfloat16"`` runs convs/matmuls in bf16 on the MXU
         (params and normalization statistics stay float32).
+        ``remat_encoders`` rematerializes the Cnn14 encoders on the backward
+        pass — the encoders' conv activations dominate train-step HBM at the
+        reference recipe shape (batch 4 x 8 tracks x 262,144), so this trades
+        ~1/3 more encoder FLOPs for fitting larger batches per chip.
         """
+        import flax.linen as nn
+
         dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+        enc_cls = (
+            nn.remat(SpectrogramEncoder, static_argnums=(2,))
+            if remat_encoders
+            else SpectrogramEncoder
+        )
         return MixStyleTransferModel(
-            track_encoder=SpectrogramEncoder(
+            track_encoder=enc_cls(
                 embed_dim=embed_dim,
                 n_fft=n_fft,
                 hop_length=hop_length,
@@ -118,7 +130,7 @@ class MixStyleTransferModel(nn.Module):
                 cnn_base_width=cnn_base_width,
                 dtype=dtype,
             ),
-            mix_encoder=SpectrogramEncoder(
+            mix_encoder=enc_cls(
                 embed_dim=embed_dim,
                 n_fft=n_fft,
                 hop_length=hop_length,

@@ -50,15 +50,14 @@ def overlap_add_render(
     total = tracks.shape[-1]
     starts = list(range(0, total, hop))
 
-    # gather all (zero-padded) windows -> one batched render
+    # gather all (zero-padded) windows -> fixed-size batched renders
     wins = []
     for s in starts:
         w = tracks[0, :, s : s + window_len]
         if w.shape[-1] < window_len:
             w = np.pad(w, ((0, 0), (0, window_len - w.shape[-1])))
         wins.append(w)
-    batch = jnp.asarray(np.stack(wins))  # (n_win, num_tracks, window_len)
-    rendered = np.asarray(render_window(batch))  # (n_win, 2, window_len)
+    rendered = _render_batched(render_window, np.stack(wins))
 
     win = hann_window(window_len).astype(np.float32)
     out = np.zeros((1, 2, total + window_len), np.float32)
@@ -68,6 +67,31 @@ def overlap_add_render(
         )
         out[0, :, s : s + window_len] += rendered[i] * w
     return out[..., :total]
+
+
+_RENDER_BS = 8
+
+
+def _render_batched(render_window: Callable, wins: np.ndarray) -> np.ndarray:
+    """Render windows in fixed-size groups of ``_RENDER_BS``.
+
+    Song lengths vary, so the window count varies per song; batching in a
+    fixed group size (zero-padding the last group) keeps ONE compiled render
+    program across every song and section of an eval run instead of one
+    30-200 s TPU compile per distinct window count.
+    """
+    n = wins.shape[0]
+    outs = []
+    for i in range(0, n, _RENDER_BS):
+        group = wins[i : i + _RENDER_BS]
+        pad = _RENDER_BS - group.shape[0]
+        if pad:
+            group = np.concatenate(
+                [group, np.zeros((pad,) + group.shape[1:], group.dtype)]
+            )
+        out = np.asarray(render_window(jnp.asarray(group)))
+        outs.append(out[: _RENDER_BS - pad])
+    return np.concatenate(outs, axis=0)
 
 
 def overlap_save_render(
@@ -109,8 +133,7 @@ def overlap_save_render(
         if pad_l or pad_r:
             w = np.pad(w, ((0, 0), (pad_l, pad_r)))
         wins.append(w)
-    batch = jnp.asarray(np.stack(wins))  # (n_win, num_tracks, win_len)
-    rendered = np.asarray(render_window(batch))  # (n_win, 2, win_len)
+    rendered = _render_batched(render_window, np.stack(wins))
 
     out = np.zeros((1, 2, len(starts) * block_len), np.float32)
     for i, s in enumerate(starts):
