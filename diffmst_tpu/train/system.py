@@ -77,6 +77,10 @@ class SystemConfig:
     grad_clip: float = 10.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    # Lightning's accumulate_grad_batches (configs/config.yaml:46 — the
+    # reference declares the knob but leaves it at 1): grads average over N
+    # micro-batches before one optimizer update (optax.MultiSteps).
+    accumulate_grad_batches: int = 1
 
 
 class TrainState(NamedTuple):
@@ -144,10 +148,13 @@ class System:
             lr = optax.cosine_decay_schedule(cfg.lr, total_steps)
         else:
             lr = cfg.lr
-        return optax.chain(
+        tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2),
         )
+        if cfg.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+        return tx
 
     # ----------------------------------------------------------- lifecycle
     def init(self, key: jax.Array, example_batch: Batch) -> TrainState:

@@ -39,6 +39,10 @@ def build_from_config(cfg: dict):
         init_args.setdefault("lr", opt_cfg["lr"])
     if "max_epochs" in trainer_cfg:
         init_args.setdefault("max_epochs", trainer_cfg["max_epochs"])
+    if "accumulate_grad_batches" in trainer_cfg:
+        init_args.setdefault(
+            "accumulate_grad_batches", trainer_cfg["accumulate_grad_batches"]
+        )
 
     system = System(model, mix_console, loss, mix_fn=mix_fn, **init_args)
 

@@ -216,3 +216,50 @@ def test_mp_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         float(m_mp["grad_norm"]), float(m_ref["grad_norm"]), rtol=2e-3
     )
+
+
+def test_gradient_accumulation():
+    """accumulate_grad_batches=N: N identical micro-steps == one plain step
+    (mean of identical grads is the grad), and no update happens mid-cycle."""
+    key = jax.random.PRNGKey(0)
+    batch = make_batch(key, bs=1)
+
+    def build(accum):
+        return System(
+            small_model(),
+            AdvancedMixConsole(SR),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            SystemConfig(
+                steps_per_epoch=10, max_epochs=10, lr=1e-3, schedule="none",
+                accumulate_grad_batches=accum,
+            ),
+        )
+
+    sys1, sys2 = build(1), build(2)
+    state1 = sys1.init(jax.random.PRNGKey(1), batch)
+    state2 = sys2.init(jax.random.PRNGKey(1), batch)
+    # same init
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state1.params, state2.params,
+    )
+    step1 = sys1.make_train_step(sys1.effect_flags(0), donate=False)
+    step2 = sys2.make_train_step(sys2.effect_flags(0), donate=False)
+    k = jax.random.PRNGKey(2)
+    s1, _ = step1(state1, batch, k)
+
+    s2a, _ = step2(state2, batch, k)
+    # mid-cycle: parameters unchanged
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        s2a.params, state2.params,
+    )
+    s2b, _ = step2(s2a, batch, k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        s2b.params, s1.params,
+    )
