@@ -101,6 +101,34 @@ def bench_console(results):
         print("console", sm, results[f"console_fwd_bwd_{sm}"], flush=True)
 
 
+def bench_console_16track_fx(results):
+    """BASELINE stretch: 16-track chain incl. fx bus (65536-tap reverb)."""
+    key = jax.random.PRNGKey(2)
+    tracks = jax.random.normal(key, (1, 16, T), jnp.float32) * 10 ** (-48 / 20)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    tp = jax.random.uniform(k1, (1, 16, 27))
+    fp = jax.random.uniform(k2, (1, 25))
+    mp = jax.random.uniform(k3, (1, 26))
+    console = AdvancedMixConsole(SR)
+
+    def fwdbwd(args):
+        tp_, fp_ = args
+
+        def loss(tp_, fp_):
+            out = console(tracks, tp_, fp_, mp, use_fx_bus=True, key=k4)
+            return jnp.sum(jnp.square(out.mix))
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(tp_, fp_)
+        return (g1, g2)
+
+    t = device_timer(fwdbwd, (tp, fp), iters=4)
+    results["console_16track_fx_fwd_bwd"] = {
+        "ms": round(t * 1e3, 3),
+        "x_realtime": round(T / SR / t, 1),
+    }
+    print("console 16-track+fx", results["console_16track_fx_fwd_bwd"], flush=True)
+
+
 def main():
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     results = {"backend": jax.default_backend(),
@@ -108,6 +136,7 @@ def main():
                "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
     bench_smoothers(results)
     bench_console(results)
+    bench_console_16track_fx(results)
     os.makedirs("logs", exist_ok=True)
     with open("logs/microbench_tpu.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -190,3 +190,34 @@ def test_fader_folded_into_eq_matches_series():
     np.testing.assert_allclose(
         np.asarray(folded), np.asarray(series), atol=2e-5
     )
+
+
+def test_16track_fx_bus_full_chain():
+    """BASELINE stretch config: 16-track chain with bus/reverb sends through
+    the full console (per-track fader/EQ/comp -> pan -> sum; fx bus send ->
+    12-band reverb; master EQ/comp/faders) — finite, correct shapes, and
+    gradients flow into the fx-bus parameters."""
+    console = AdvancedMixConsole(
+        SR, reverb_num_samples=8192, reverb_num_taps=255
+    )
+    key = jax.random.PRNGKey(0)
+    bs, nt, t = 1, 16, 32768
+    tracks = jax.random.normal(key, (bs, nt, t)) * 10 ** (-36 / 20)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    tp = jax.random.uniform(k1, (bs, nt, 27))
+    fp = jax.random.uniform(k2, (bs, 25))
+    mp = jax.random.uniform(k3, (bs, 26))
+
+    out = console(tracks, tp, fp, mp, use_fx_bus=True, key=k4)
+    assert out.mix.shape == (bs, 2, t)
+    assert out.mixed_tracks.shape == (bs, 2, nt, t)
+    assert np.isfinite(np.asarray(out.mix)).all()
+
+    def loss(fp):
+        return jnp.sum(
+            jnp.square(console(tracks, tp, fp, mp, use_fx_bus=True, key=k4).mix)
+        )
+
+    g = jax.grad(loss)(fp)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0  # reverb params actually participate
