@@ -263,3 +263,58 @@ def test_gradient_accumulation():
         ),
         s2b.params, s1.params,
     )
+
+
+def test_trainer_curriculum_staging(tmp_path, capsys):
+    """The Trainer recompiles at curriculum stage boundaries and both stages
+    run: compressor activates at epoch 1 (active_compressor_epoch)."""
+    from diffmst_tpu.train import Trainer
+
+    class FakeDM:
+        """In-memory datamodule: 4 train / 2 val batches of the test shape."""
+
+        batch_size = 1
+
+        def _iter(self, n):
+            rng = np.random.default_rng(0)
+            for _ in range(n):
+                yield (
+                    rng.normal(size=(1, NT, T)).astype(np.float32) * 0.01,
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), bool),
+                    rng.normal(size=(1, 2, T // 2)).astype(np.float32) * 0.1,
+                    ["s"],
+                )
+
+        def train_dataloader(self):
+            return self._iter(2)
+
+        def val_dataloader(self):
+            return self._iter(1)
+
+    system = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+        ),
+        SystemConfig(
+            steps_per_epoch=2, max_epochs=2, lr=1e-4,
+            active_compressor_epoch=1,  # stage boundary at epoch 1
+        ),
+    )
+    assert system.effect_flags(0) != system.effect_flags(1)
+    trainer = Trainer(
+        system, FakeDM(), max_epochs=2, ckpt_dir=str(tmp_path / "ck"),
+        log_every_n_steps=1,
+    )
+    state = trainer.fit()
+    assert int(state.step) == 4
+    out = capsys.readouterr().out
+    assert out.count("[epoch]") == 2
+    # both curriculum stages produced train logs with finite losses
+    assert all(
+        np.isfinite(h["loss"]) for h in trainer.history if "loss" in h
+    )
+    assert any(h.get("epoch") == 1 for h in trainer.history)
