@@ -81,6 +81,12 @@ class SystemConfig:
     # reference declares the knob but leaves it at 1): grads average over N
     # micro-batches before one optimizer update (optax.MultiSteps).
     accumulate_grad_batches: int = 1
+    # Failure containment (SURVEY §5.3 — the reference just raises on NaN,
+    # system.py:251-253): when > 0, non-finite updates are dropped and
+    # parameters held, up to this many consecutive bad steps
+    # (optax.apply_if_finite); the step metric ``notfinite_count`` reports
+    # the running count. 0 preserves reference behavior (poisoned params).
+    skip_nonfinite_updates: int = 0
 
 
 class TrainState(NamedTuple):
@@ -154,6 +160,8 @@ class System:
         )
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+        if cfg.skip_nonfinite_updates > 0:
+            tx = optax.apply_if_finite(tx, cfg.skip_nonfinite_updates)
         return tx
 
     # ----------------------------------------------------------- lifecycle
@@ -387,6 +395,8 @@ class System:
             new_params = optax.apply_updates(state.params, updates)
             metrics = aux["metrics"]
             metrics["grad_norm"] = optax.global_norm(grads)
+            if self.config.skip_nonfinite_updates > 0:
+                metrics["notfinite_count"] = new_opt.notfinite_count
             new_state = TrainState(
                 new_params, aux["batch_stats"], new_opt, state.step + 1
             )

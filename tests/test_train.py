@@ -318,3 +318,42 @@ def test_trainer_curriculum_staging(tmp_path, capsys):
         np.isfinite(h["loss"]) for h in trainer.history if "loss" in h
     )
     assert any(h.get("epoch") == 1 for h in trainer.history)
+
+
+def test_skip_nonfinite_updates_holds_params():
+    """With skip_nonfinite_updates > 0, a poisoned batch leaves parameters
+    untouched and increments notfinite_count; a clean step then proceeds
+    (SURVEY §5.3 upgrade over the reference's raise-on-NaN)."""
+    system = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+        ),
+        SystemConfig(
+            steps_per_epoch=10, max_epochs=10, lr=1e-3, schedule="none",
+            skip_nonfinite_updates=3,
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    batch = make_batch(key, bs=1)
+    state = system.init(jax.random.PRNGKey(1), batch)
+    step = system.make_train_step(system.effect_flags(0), donate=False)
+
+    bad = batch._replace(
+        tracks=batch.tracks.at[0, 0, 0].set(jnp.nan)
+    )
+    s_bad, m_bad = step(state, bad, jax.random.PRNGKey(2))
+    assert int(m_bad["notfinite_count"]) == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_bad.params, state.params,
+    )
+    s_ok, m_ok = step(s_bad, batch, jax.random.PRNGKey(3))
+    assert int(m_ok["notfinite_count"]) == 0  # reset by a finite step
+    diffs = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s_ok.params, state.params
+        )
+    )
+    assert max(diffs) > 0  # clean step actually updated
