@@ -1,6 +1,7 @@
 """Script-level tests: direct optimization converges (the cleanest proof that
 loss gradients flow through the full console DSP), eval CSV machinery."""
 
+import csv
 import sys
 import os
 
@@ -63,3 +64,49 @@ def test_eval_features_and_sum_baseline():
     # identical channels -> zero width/imbalance
     assert abs(feats["stereo_width"]) < 1e-6
     assert abs(feats["stereo_imbalance"]) < 1e-6
+
+
+def test_eval_all_combo_main_sum_baseline(tmp_path):
+    """eval_all_combo end-to-end (sum baseline, no ckpt): wavs + CSV out."""
+    import wave
+
+    import yaml  # noqa: F401  (parity with other tests' imports)
+
+    rng = np.random.default_rng(0)
+    song = tmp_path / "examples" / "songA"
+    (song / "tracks").mkdir(parents=True)
+    sr, total = 44100, 44100 * 2
+
+    def write_wav(path, chans):
+        x = (rng.normal(size=(total, chans)) * 0.05 * 32767).astype(np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(chans)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+
+    for i in range(3):
+        write_wav(song / "tracks" / f"t{i}.wav", 1)
+    write_wav(song / "ref.wav", 2)
+
+    out_dir = tmp_path / "out"
+    import scripts.eval_all_combo as eac
+
+    argv = [
+        "--examples_dir", str(tmp_path / "examples"),
+        "--output_dir", str(out_dir),
+        "--section_len", str(sr),
+        "--num_sections", "1",
+    ]
+    old = sys.argv
+    sys.argv = ["eval_all_combo.py"] + argv
+    try:
+        eac.main()
+    finally:
+        sys.argv = old
+
+    rows = list(csv.DictReader(open(out_dir / "results.csv")))
+    assert len(rows) == 1 and rows[0]["method"] == "sum"
+    assert float(rows[0]["mix_rms"]) > 0
+    wavs = [f for f in os.listdir(out_dir) if f.endswith(".wav")]
+    assert len(wavs) == 1

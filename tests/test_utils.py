@@ -272,3 +272,29 @@ def test_streaming_render_matches_one_shot():
     err_ola = np.abs(ola - one)[..., 16384:].max() / peak
     assert err_ols < 1e-3, err_ols
     assert err_ols < 0.1 * err_ola  # streaming strictly better than OLA
+
+
+def test_run_diffmst_streaming_mode():
+    """render_mode='streaming' produces a full-length finite render close to
+    the OLA render away from block boundaries."""
+    rng = np.random.default_rng(2)
+    total = 16384 * 3
+    tracks = (rng.normal(size=(1, 2, total)) * 0.1).astype(np.float32)
+    ref = (rng.normal(size=(1, 2, 16384)) * 0.1).astype(np.float32)
+
+    def fake_model(t, r):
+        n = t.shape[1]
+        return (jnp.full((1, n, 2), 0.5), jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+
+    console = BasicMixConsole(SR)
+    mix_s, *_ = run_diffmst(
+        tracks, ref, fake_model, console, analysis_len=16384,
+        render_mode="streaming",
+    )
+    mix_o, *_ = run_diffmst(
+        tracks, ref, fake_model, console, analysis_len=16384,
+    )
+    assert mix_s.shape == (1, 2, total)
+    assert np.isfinite(mix_s).all()
+    # gain+pan console is stateless -> both methods must agree exactly
+    np.testing.assert_allclose(mix_s, mix_o, atol=1e-4)
