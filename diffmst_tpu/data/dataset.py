@@ -160,17 +160,25 @@ class MultitrackDataset:
         offset = int(self.rng.integers(lo, hi)) if hi > lo else lo
         offset = min(offset, num_frames - self.length)
 
+        # fused native decode + BS.1770 measure + normalize on a C++ thread
+        # pool — all candidate stems of the song in one call (falls back to
+        # a sequential scipy+NumPy path without the compiled core). Load at
+        # most 2*max_tracks candidates: rejections are the exception, so
+        # this covers them without decoding a 30-stem song for 8 slots.
+        candidates = paths[: 2 * self.max_tracks]
+        loaded = _native.load_normalized_batch(
+            [p for p, _ in candidates],
+            [offset] * len(candidates),
+            self.length,
+            self.target_track_lufs_db,
+        )
+
         out_tracks: List[np.ndarray] = []
         out_instr: List[int] = []
         out_stereo: List[int] = []
-        for p, instrument in paths:
+        for (p, instrument), (audio, lufs, _sr) in zip(candidates, loaded):
             if len(out_tracks) >= self.max_tracks:
                 break
-            # fused native decode + BS.1770 measure + normalize (one pass;
-            # falls back to scipy+NumPy without the compiled core)
-            audio, lufs, _sr = _native.load_normalized(
-                p, offset, self.length, self.target_track_lufs_db
-            )
             if audio is None or audio.shape[-1] != self.length or audio.shape[0] > 2:
                 continue
             if not np.isfinite(lufs) or lufs < self.min_track_lufs_db:

@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["native_available", "wav_info", "wav_read", "integrated_loudness",
-           "load_normalized"]
+           "load_normalized", "load_normalized_batch"]
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -39,7 +39,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             return None
         try:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, src],
+                ["g++", "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
+                 "-o", out, src],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -72,6 +73,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.dn_load_normalized.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.dn_load_normalized_batch.restype = None
+    lib.dn_load_normalized_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
     ]
     return lib
 
@@ -173,3 +182,60 @@ def load_normalized(
     if np.isfinite(lufs):
         audio = audio * 10.0 ** ((target_lufs - lufs) / 20.0)
     return audio, lufs, rate
+
+
+def load_normalized_batch(
+    paths, starts, frames: int, target_lufs: float,
+    num_threads: Optional[int] = None,
+):
+    """Threaded batch of fused decode+measure+normalize loads.
+
+    One native call decodes, measures and scales all files on a C++ thread
+    pool (native/diffmst_native.cpp::dn_load_normalized_batch) — the per-song
+    stem loads that the reference performs sequentially inside DataLoader
+    workers (dataloader.py:294-316). Returns a list of
+    ``(audio (channels, frames) | None, lufs, sample_rate)`` per input.
+    """
+    n = len(paths)
+    if num_threads is None:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib = _lib()
+    if lib is None or n == 0:
+        return [load_normalized(p, s, frames, target_lufs)
+                for p, s in zip(paths, starts)]
+
+    infos = []
+    for p in paths:
+        try:
+            infos.append(wav_info(p))
+        except Exception:
+            infos.append(None)
+    valid = [
+        i for i, info in enumerate(infos)
+        if info is not None and starts[i] + frames <= info[0] and info[1] > 0
+    ]
+    results = [(None, float("-inf"), 0)] * n
+    if not valid:
+        return results
+
+    bufs = {i: np.empty(frames * infos[i][1], np.float32) for i in valid}
+    m = len(valid)
+    c_paths = (ctypes.c_char_p * m)(*[paths[i].encode() for i in valid])
+    c_starts = (ctypes.c_long * m)(*[int(starts[i]) for i in valid])
+    c_frames = (ctypes.c_long * m)(*[int(frames)] * m)
+    c_outs = (ctypes.POINTER(ctypes.c_float) * m)(
+        *[bufs[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for i in valid]
+    )
+    c_lufs = (ctypes.c_double * m)()
+    c_rcs = (ctypes.c_int * m)()
+    lib.dn_load_normalized_batch(
+        c_paths, c_starts, c_frames, float(target_lufs), c_outs, c_lufs,
+        c_rcs, m, int(num_threads),
+    )
+    for j, i in enumerate(valid):
+        if c_rcs[j] == 0:
+            chs, rate = infos[i][1], infos[i][2]
+            results[i] = (
+                bufs[i].reshape(frames, chs).T.copy(), c_lufs[j], rate
+            )
+    return results

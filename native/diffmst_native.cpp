@@ -11,11 +11,13 @@
 // Exposed as a C ABI consumed via ctypes (diffmst_tpu/data/native.py).
 // Build: g++ -O3 -march=native -shared -fPIC -o libdiffmst_native.so diffmst_native.cpp
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -287,6 +289,36 @@ int dn_load_normalized(const char* path, long start, long frames,
     for (long i = 0; i < frames * info.channels; ++i) out[i] *= g;
   }
   return 0;
+}
+
+// Threaded batch loader: run the fused decode+measure+normalize path for n
+// files on a work-stealing pool of `num_threads` threads. Per item i the
+// caller provides starts[i], frames[i], an out buffer sized
+// frames[i]*channels_i (channels known from a prior dn_wav_info), and
+// receives lufs[i] + rcs[i]. Decode is I/O + branchy integer unpacking and
+// the K-weighting filter is sequential per file — exactly the work that
+// belongs on host threads while the TPU consumes the previous buffer.
+void dn_load_normalized_batch(const char** paths, const long* starts,
+                              const long* frames, double target_lufs,
+                              float** outs, double* lufs, int* rcs, int n,
+                              int num_threads) {
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (int i; (i = next.fetch_add(1)) < n;) {
+      rcs[i] = dn_load_normalized(paths[i], starts[i], frames[i], target_lufs,
+                                  outs[i], &lufs[i]);
+    }
+  };
+  int k = num_threads > 0 ? num_threads : 1;
+  if (k > n) k = n;
+  if (k <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(k);
+  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

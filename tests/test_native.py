@@ -78,3 +78,35 @@ def test_native_24bit_decode(tmp_path):
     got, rate = native.wav_read(str(p), 0, frames)
     assert rate == sr
     np.testing.assert_allclose(got[0], ints / 8388608.0, atol=2e-7)
+
+
+def test_load_normalized_batch_matches_sequential(tmp_path):
+    """Threaded native batch loader == per-file fused loads; invalid paths
+    and out-of-range offsets come back as (None, -inf, 0)."""
+    from diffmst_tpu.data import write_audio
+    from diffmst_tpu.data.native import load_normalized, load_normalized_batch
+
+    rng = np.random.default_rng(0)
+    sr, frames = 44100, 8192
+    paths, starts = [], []
+    for i in range(5):
+        p = str(tmp_path / f"f{i}.wav")
+        chans = 2 if i % 2 else 1
+        x = (rng.normal(size=(chans, frames * 3)) * 0.1).astype(np.float32)
+        write_audio(p, x, sr)
+        paths.append(p)
+        starts.append(i * 100)
+    paths.append(str(tmp_path / "missing.wav"))
+    starts.append(0)
+    paths.append(paths[0])
+    starts.append(frames * 3)  # out of range
+
+    batch = load_normalized_batch(paths, starts, frames, -48.0, num_threads=4)
+    assert len(batch) == 7
+    for i in range(5):
+        a_b, l_b, r_b = batch[i]
+        a_s, l_s, r_s = load_normalized(paths[i], starts[i], frames, -48.0)
+        assert a_b is not None and r_b == r_s == sr
+        np.testing.assert_allclose(a_b, a_s, atol=1e-7)
+        np.testing.assert_allclose(l_b, l_s, atol=1e-9)
+    assert batch[5][0] is None and batch[6][0] is None
