@@ -166,6 +166,18 @@ def main():
                        "ref_start": ri}
                 row.update({f"mix_{k}": v for k, v in feats.items()})
                 row.update({f"ref_{k}": v for k, v in ref_feats.items()})
+                # style-transfer distances to the reference mix (the eval
+                # instruments the reference constructs but never logs,
+                # system.py:60-69,367-389)
+                n = min(mix.shape[-1], ref.shape[-1])
+                from diffmst_tpu.losses import mrstft_distance, si_sdr
+
+                row["mrstft_to_ref"] = float(
+                    mrstft_distance(jnp.asarray(mix[..., :n]), jnp.asarray(ref[..., :n]))
+                )
+                row["sisdr_to_ref"] = float(
+                    si_sdr(jnp.asarray(mix[..., :n]), jnp.asarray(ref[..., :n]))
+                )
                 rows.append(row)
                 print(f"{name}: {feats}", flush=True)
 

@@ -148,3 +148,22 @@ def test_afloss_grad_finite():
 def test_afloss_rejects_clap():
     with pytest.raises(NotImplementedError):
         losses.AudioFeatureLoss(weights=(1, 1, 1, 1, 1), use_clap=True)
+
+
+@pytest.mark.smoke
+def test_si_sdr_properties():
+    """SI-SDR: +inf-ish for scaled copies, low for noise, known value for
+    a constructed target+noise mixture."""
+    from diffmst_tpu.losses import si_sdr
+
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.normal(size=(1, 2, 8192)).astype(np.float32))
+    assert float(si_sdr(3.0 * t, t)) > 60.0  # scale-invariant
+    noise = jnp.asarray(rng.normal(size=(1, 2, 8192)).astype(np.float32))
+    assert float(si_sdr(noise, t)) < 1.0
+    # target + noise at exactly -10 dB SNR (orthogonalized noise)
+    n = noise - jnp.sum(noise * t, -1, keepdims=True) / jnp.sum(t * t, -1, keepdims=True) * t
+    n = n / jnp.sqrt(jnp.sum(n * n, -1, keepdims=True))
+    scale = jnp.sqrt(jnp.sum(t * t, -1, keepdims=True)) * 10 ** (-10 / 20)
+    got = float(si_sdr(t + scale * n, t))
+    assert abs(got - 10.0) < 0.2, got
