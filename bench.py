@@ -35,14 +35,19 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
 
 
 def probe_devices(timeout_s: float) -> bool:
-    """True iff a fresh process can enumerate jax devices within timeout."""
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    """True iff a fresh process can enumerate jax devices within timeout.
+
+    The environment is inherited UNCHANGED: the axon TPU plugin is discovered
+    through the session's PYTHONPATH (/root/.axon_site sitecustomize) —
+    stripping or overriding PYTHONPATH makes jax fail fast with
+    "Backend 'axon' is not in the list of known backends", which would make
+    this probe report a dead tunnel forever.
+    """
     try:
         proc = subprocess.run(
             [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
             timeout=timeout_s,
             capture_output=True,
-            env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         return proc.returncode == 0 and proc.stdout.strip().isdigit()
@@ -221,7 +226,7 @@ def main():
         attempt += 1
         remaining = DEADLINE_S - (time.time() - t_start)
         if not probe_devices(min(PROBE_TIMEOUT_S, max(remaining, 10.0))):
-            last_err = f"liveness probe timed out (attempt {attempt})"
+            last_err = f"liveness probe failed (attempt {attempt})"
             print(f"# {last_err}; retrying", file=sys.stderr)
             time.sleep(min(90.0, max(0.0, DEADLINE_S - (time.time() - t_start))))
             continue
