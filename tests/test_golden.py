@@ -154,3 +154,34 @@ def test_reverb_golden():
     )
     scale = max(1.0, np.abs(want).max())
     assert np.abs(got - want).max() / scale < TOL
+
+
+def test_console_golden_full_chain():
+    """End-to-end console golden: the full AdvancedMixConsole render (fsm
+    smoothers, fx bus off — the shipped training configuration) matches the
+    float64 torch oracle of the same chain within BASELINE tolerance."""
+    from diffmst_tpu.console import AdvancedMixConsole
+
+    console = AdvancedMixConsole(SR, comp_smoother="fsm")
+    key = jax.random.PRNGKey(10)
+    bs, n, t = 2, 4, 65536
+    tracks = _tracks(key, bs, n, t, level_db=-36.0).reshape(bs, n, t)
+    k1, k2, k3 = jax.random.split(key, 3)
+    tp = jax.random.uniform(k1, (bs, n, 27), jnp.float32)
+    fp = jax.random.uniform(k2, (bs, 25), jnp.float32)
+    mp = jax.random.uniform(k3, (bs, 26), jnp.float32)
+
+    out = console(tracks, tp, fp, mp, use_fx_bus=False)
+    got = np.asarray(out.mix)
+
+    to_np = lambda d: {
+        g: {k: np.asarray(v) for k, v in ps.items()} for g, ps in d.items()
+    }
+    want = torch_ref.advanced_console_mix(
+        np.asarray(tracks),
+        to_np(out.track_param_dict),
+        to_np(out.master_bus_param_dict),
+        SR,
+    )
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() / scale < TOL

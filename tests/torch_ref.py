@@ -201,3 +201,47 @@ def noise_shaped_reverberation(
     wet = wet_full[..., : x.shape[-1]]
     mm = m.reshape(-1, 1, 1)
     return ((1.0 - mm) * x + mm * wet).numpy()
+
+
+def advanced_console_mix(
+    tracks, track_d, master_d, sample_rate, track_lookahead=2048,
+    master_lookahead=1024,
+):
+    """Float64 oracle of the AdvancedMixConsole chain (fx bus off):
+    per-track [fader -> 6-band EQ -> compressor] -> -4.5 dB pan -> stereo sum
+    -> master [fader -> EQ -> compressor] -> output fader.
+    (Chain order: /root/reference/mst/modules.py:186-314.)
+
+    tracks: (bs, n, T); track_d/master_d: denormalized parameter dicts of
+    numpy arrays shaped (bs, n) / (bs,).
+    """
+    bs, n, T = np.asarray(tracks).shape
+    x = np.asarray(tracks, np.float64).reshape(bs * n, 1, T)
+
+    def flat(p):
+        return np.asarray(p, np.float64).reshape(bs * n)
+
+    x = gain(x, flat(track_d["input_fader"]["gain_db"]))
+    x = parametric_eq(
+        x, sample_rate,
+        **{k: flat(v) for k, v in track_d["parametric_eq"].items()},
+    )
+    x = compressor(
+        x, sample_rate, lookahead_samples=track_lookahead,
+        **{k: flat(v) for k, v in track_d["compressor"].items()},
+    )
+    x = x.reshape(bs, n, T)
+    stems = stereo_panner(x, np.asarray(track_d["stereo_panner"]["pan"]))
+    master = stems.sum(axis=2)  # (bs, 2, T)
+
+    master = gain(master, np.asarray(master_d["input_fader"]["gain_db"]))
+    master = parametric_eq(
+        master, sample_rate,
+        **{k: np.asarray(v) for k, v in master_d["parametric_eq"].items()},
+    )
+    master = compressor(
+        master, sample_rate, lookahead_samples=master_lookahead,
+        **{k: np.asarray(v) for k, v in master_d["compressor"].items()},
+    )
+    master = gain(master, np.asarray(master_d["output_fader"]["gain_db"]))
+    return master
