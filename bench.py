@@ -158,6 +158,13 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False):
     return 1.0 / per_step, (bs * seq_len / sr) / per_step
 
 
+def _persist(result):
+    result = dict(result)
+    result["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(RESULT_PATH, "w") as f:
+        json.dump(result, f)
+
+
 def run_once():
     import jax
     import jax.numpy as jnp
@@ -188,6 +195,7 @@ def run_once():
     }
     if last_exc:
         result["console_smoother_fallback_from"] = last_exc
+    _persist(result)  # headline lands even if the train-step bench is killed
     if os.environ.get("BENCH_SKIP_TRAIN_STEP", "") != "1":
         good = None
         for bs, remat in ((4, False), (4, True), (1, False)):
@@ -201,6 +209,7 @@ def run_once():
                     train_rtf, 1
                 )
                 good = (bs, remat)
+                _persist(result)
                 break
             except Exception as exc:  # console number still stands alone
                 result["train_step_error"] = (
@@ -213,6 +222,7 @@ def run_once():
                 )
                 result["train_step_steps_per_sec_bf16"] = round(sps16, 3)
                 result["train_step_realtime_factor_bf16"] = round(rtf16, 1)
+                _persist(result)
             except Exception as exc:
                 result["train_step_bf16_error"] = f"{type(exc).__name__}: {exc}"
     return result
@@ -237,9 +247,8 @@ def main():
             print(f"# {last_err}", file=sys.stderr)
             time.sleep(30.0)
             continue
+        _persist(result)
         result["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-        with open(RESULT_PATH, "w") as f:
-            json.dump(result, f)
         print(json.dumps(result))
         return 0
 
