@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from diffmst_tpu.ops.stft import hann_window, istft, stft
+from diffmst_tpu.ops.stft import istft, stft
 
 __all__ = ["hpss_separator", "median_filter", "UNetSeparator"]
 
