@@ -188,3 +188,113 @@ def _bwd_tv(chunk, interpret, res, dy):
 
 
 onepole_scan_tv.defvjp(_fwd_tv, _bwd_tv)
+
+
+# ------------------------------------------------------- min-affine scan
+
+def _minscan_kernel(chunk: int):
+    """Kernel: y[n] = min(c[n], a*y[n-1] + d[n]) — the decoupled compressor's
+    release stage. Transfer maps f(y) = min(c, a*y + d) compose as
+    (A, D, C) -> (a1*a2, a2*d1 + d2, min(c2, a2*c1 + d2)), an associative
+    triple, so the same Hillis-Steele pattern as the linear kernel applies.
+    """
+
+    def kernel(a_ref, d_ref, c_ref, out_ref, carry_ref):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            # entering state = 0 dB (no gain reduction)
+            carry_ref[...] = jnp.zeros_like(carry_ref)
+
+        d = d_ref[...]
+        c = c_ref[...]
+        A = jnp.broadcast_to(a_ref[...], d.shape)
+        D = d
+        C = c
+        s = 1
+        while s < chunk:
+            pad_a = jnp.ones((s, D.shape[1]), A.dtype)
+            pad_d = jnp.zeros((s, D.shape[1]), D.dtype)
+            pad_c = jnp.full((s, D.shape[1]), jnp.inf, C.dtype)
+            A_prev = jnp.concatenate([pad_a, A[:-s]], axis=0)
+            D_prev = jnp.concatenate([pad_d, D[:-s]], axis=0)
+            C_prev = jnp.concatenate([pad_c, C[:-s]], axis=0)
+            # compose: prev (earlier) then current
+            C = jnp.minimum(C, A * C_prev + D)
+            D = A * D_prev + D
+            A = A * A_prev
+            s *= 2
+        y = jnp.minimum(C, A * carry_ref[...] + D)
+        out_ref[...] = y
+        carry_ref[...] = y[-1:, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def minscan_core(
+    g: jnp.ndarray,
+    alpha: jnp.ndarray,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[n] = min(g[n], alpha*y[n-1] + (1-alpha)*g[n]). g: (B, T), alpha: (B,)."""
+    bs, t = g.shape
+    b_pad = (-bs) % _LANES
+    t_pad = (-t) % chunk
+    # pad time with zeros: g<=0 in dB gain domain, y stays <= 0; padded tail
+    # is discarded anyway.
+    c = jnp.pad(g, ((0, b_pad), (0, t_pad))).T  # (T', B')
+    a_row = jnp.pad(alpha, (0, b_pad))[None, :]
+    d = jnp.pad((1.0 - alpha)[:, None] * g, ((0, b_pad), (0, t_pad))).T
+    tp, bp = c.shape
+    grid = (bp // _LANES, tp // chunk)
+    y = pl.pallas_call(
+        _minscan_kernel(chunk),
+        out_shape=jax.ShapeDtypeStruct((tp, bp), c.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _LANES), lambda j, i: (0, j)),
+            pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
+            pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((chunk, _LANES), lambda j, i: (i, j)),
+        scratch_shapes=[pltpu.VMEM((1, _LANES), c.dtype)],
+        interpret=interpret,
+    )(a_row, d, c)
+    return y.T[:bs, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def release_min_scan(
+    g: jnp.ndarray, alpha: jnp.ndarray, chunk: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """Kernel-backed decoupled release stage with an XLA-recompute VJP."""
+    return minscan_core(g, alpha, chunk, interpret)
+
+
+def _minscan_ref(g, alpha):
+    a = jnp.broadcast_to(alpha[:, None], g.shape)
+    d = (1.0 - a) * g
+
+    def combine(l, r):
+        a1, d1, c1 = l
+        a2, d2, c2 = r
+        return a1 * a2, a2 * d1 + d2, jnp.minimum(c2, a2 * c1 + d2)
+
+    _, D, C = jax.lax.associative_scan(combine, (a, d, g), axis=-1)
+    return jnp.minimum(C, D)
+
+
+def _fwd_ms(g, alpha, chunk, interpret):
+    return minscan_core(g, alpha, chunk, interpret), (g, alpha)
+
+
+def _bwd_ms(chunk, interpret, res, dy):
+    g, alpha = res
+    _, vjp = jax.vjp(_minscan_ref, g, alpha)
+    return vjp(dy)
+
+
+release_min_scan.defvjp(_fwd_ms, _bwd_ms)

@@ -147,11 +147,12 @@ def _smooth_decoupled(
     use_pallas: bool = False, interpret: bool = False,
 ) -> jnp.ndarray:
     """Decoupled attack/release smoother — release min-scan then attack pole."""
-    y1 = _release_min_scan(g_db, alpha_r)
     if use_pallas:
-        from diffmst_tpu.kernels.scan1p import onepole_scan
+        from diffmst_tpu.kernels.scan1p import onepole_scan, release_min_scan
 
+        y1 = release_min_scan(g_db, alpha_r, interpret=interpret)
         return onepole_scan(y1, alpha_a, interpret=interpret)
+    y1 = _release_min_scan(g_db, alpha_r)
     return _smooth_scan(y1, alpha_a)
 
 
