@@ -110,3 +110,84 @@ def test_eval_all_combo_main_sum_baseline(tmp_path):
     assert float(rows[0]["mix_rms"]) > 0
     wavs = [f for f in os.listdir(out_dir) if f.endswith(".wav")]
     assert len(wavs) == 1
+
+
+def _tiny_ckpt_and_song(tmp_path, rng):
+    """Save a tiny-model checkpoint + a synthetic 2-second song dir."""
+    import wave
+
+    from diffmst_tpu.models import MixStyleTransferModel
+    from diffmst_tpu.utils.checkpoint import save_state
+
+    model = MixStyleTransferModel.build(
+        embed_dim=32, num_layers=1, cnn_base_width=4,
+    )
+    t = 44100 * 2
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, t)), jnp.zeros((1, 2, t)),
+        jnp.zeros((1, 2), bool),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    save_state(ckpt, {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})})
+
+    song = tmp_path / "examples" / "songA"
+    (song / "tracks").mkdir(parents=True)
+
+    def write_wav(path, chans):
+        x = (rng.normal(size=(t, chans)) * 0.05 * 32767).astype(np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(chans)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(x.tobytes())
+
+    for i in range(2):
+        write_wav(song / "tracks" / f"t{i}.wav", 1)
+    write_wav(song / "ref.wav", 2)
+    return ckpt, str(tmp_path / "examples")
+
+
+def test_eval_listen_main(tmp_path):
+    """eval_listen end-to-end with a tiny checkpoint: one wav per
+    (section, level), reference loudness sweep applied."""
+    import scripts.eval_listen as el
+
+    rng = np.random.default_rng(1)
+    ckpt, examples = _tiny_ckpt_and_song(tmp_path, rng)
+    out_dir = str(tmp_path / "out")
+    old = sys.argv
+    sys.argv = ["eval_listen.py", "--examples_dir", examples,
+                "--output_dir", out_dir, "--ckpt", ckpt,
+                "--levels", "-24", "-12",
+                "--embed_dim", "32", "--num_layers", "1",
+                "--cnn_base_width", "4"]
+    try:
+        el.main()
+    finally:
+        sys.argv = old
+    wavs = sorted(os.listdir(os.path.join(out_dir, "songA")))
+    assert wavs == ["sec0_ref-12lufs.wav", "sec0_ref-24lufs.wav"]
+
+
+def test_eval_ablation_main(tmp_path):
+    """eval_ablation end-to-end: full/mono/quiet/lowpassed renders + CSV."""
+    import scripts.eval_ablation as ea
+
+    rng = np.random.default_rng(2)
+    ckpt, examples = _tiny_ckpt_and_song(tmp_path, rng)
+    out_dir = str(tmp_path / "out")
+    old = sys.argv
+    sys.argv = ["eval_ablation.py", "--examples_dir", examples,
+                "--output_dir", out_dir, "--ckpt", ckpt,
+                "--embed_dim", "32", "--num_layers", "1",
+                "--cnn_base_width", "4"]
+    try:
+        ea.main()
+    finally:
+        sys.argv = old
+    rows = list(csv.DictReader(open(os.path.join(out_dir, "ablation.csv"))))
+    assert {r["ablation"] for r in rows} == {"full", "mono", "quiet", "lowpassed"}
+    wavs = [f for f in os.listdir(out_dir) if f.endswith(".wav")]
+    assert len(wavs) == 4
