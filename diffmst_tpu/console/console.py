@@ -176,16 +176,25 @@ class AdvancedMixConsole:
         )
 
     def param_dicts(self, track_params, fx_bus_params=None, master_bus_params=None):
-        """Denormalized (track, fx, master) parameter dicts from (0,1) vectors."""
+        """Denormalized (track, fx, master) parameter dicts from (0,1)
+        vectors; omitted bus groups come back as empty dicts."""
         rngs = self.param_ranges
         track_d = _ranges.denormalize_parameters(
             _ranges.split_track_params(track_params), rngs
         )
-        fx_d = _ranges.denormalize_parameters(
-            _ranges.split_fx_bus_params(fx_bus_params), rngs
+        fx_d = (
+            _ranges.denormalize_parameters(
+                _ranges.split_fx_bus_params(fx_bus_params), rngs
+            )
+            if fx_bus_params is not None
+            else {}
         )
-        master_d = _ranges.denormalize_parameters(
-            _ranges.split_master_bus_params(master_bus_params), rngs
+        master_d = (
+            _ranges.denormalize_parameters(
+                _ranges.split_master_bus_params(master_bus_params), rngs
+            )
+            if master_bus_params is not None
+            else {}
         )
         return track_d, fx_d, master_d
 

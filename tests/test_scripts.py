@@ -191,3 +191,79 @@ def test_eval_ablation_main(tmp_path):
     assert {r["ablation"] for r in rows} == {"full", "mono", "quiet", "lowpassed"}
     wavs = [f for f in os.listdir(out_dir) if f.endswith(".wav")]
     assert len(wavs) == 4
+
+
+def test_datasets_and_info_scripts(tmp_path, capsys):
+    """datasets.py splits stereo to L/R mono + resamples; info.py censuses."""
+    import wave
+
+    import scripts.datasets as ds
+    import scripts.info as info
+
+    rng = np.random.default_rng(3)
+    in_dir = tmp_path / "in" / "song"
+    in_dir.mkdir(parents=True)
+    x = (rng.normal(size=(48000, 2)) * 0.05 * 32767).astype(np.int16)
+    with wave.open(str(in_dir / "st.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(x.tobytes())
+
+    out_dir = tmp_path / "out"
+    old = sys.argv
+    sys.argv = ["datasets.py", "--input_dir", str(tmp_path / "in"),
+                "--output_dir", str(out_dir), "--sr", "44100"]
+    try:
+        ds.main()
+    finally:
+        sys.argv = old
+    made = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_dir) for f in fs if f.endswith(".wav")
+    )
+    assert len(made) == 2  # L and R mono
+    from diffmst_tpu.data import audio_info
+
+    frames, chs, sr = audio_info(made[0])
+    assert (chs, sr) == (1, 44100)
+    assert abs(frames - 44100) <= 2  # 1 s resampled
+
+    sys.argv = ["info.py", "--root", str(out_dir)]
+    try:
+        info.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "1ch" in out or "1" in out
+
+
+def test_gain_testing_script(tmp_path, capsys):
+    """gain_testing prints per-track predicted gains against a single-stem
+    reference (random-weights model: just the plumbing contract)."""
+    import wave
+
+    import scripts.gain_testing as gt
+
+    rng = np.random.default_rng(4)
+    tdir = tmp_path / "tracks"
+    tdir.mkdir()
+    t = 44100 * 2
+    for i in range(2):
+        x = (rng.normal(size=(t, 1)) * 0.05 * 32767).astype(np.int16)
+        with wave.open(str(tdir / f"t{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(x.tobytes())
+
+    old = sys.argv
+    sys.argv = ["gain_testing.py", "--track_dir", str(tdir),
+                "--embed_dim", "32", "--num_layers", "1",
+                "--cnn_base_width", "4", "--length", str(t)]
+    try:
+        gt.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "t0.wav" in out and "dB" in out  # per-track gain lines printed
