@@ -298,3 +298,59 @@ def test_run_diffmst_streaming_mode():
     assert np.isfinite(mix_s).all()
     # gain+pan console is stateless -> both methods must agree exactly
     np.testing.assert_allclose(mix_s, mix_o, atol=1e-4)
+
+
+def test_audio_callbacks(tmp_path):
+    """LogAudioCallback writes comparison clips; LogReferenceMix renders a
+    fixed song; save_param_table dumps denormalized params."""
+    from diffmst_tpu.callbacks.audio import (
+        LogAudioCallback,
+        LogReferenceMix,
+        save_param_table,
+    )
+    from diffmst_tpu.console import BasicMixConsole
+    from diffmst_tpu.data import write_audio
+
+    rng = np.random.default_rng(0)
+    audio = {
+        "ref_mix_a": rng.normal(size=(2, 2, 4096)).astype(np.float32) * 0.1,
+        "ref_mix_b": rng.normal(size=(2, 2, 4096)).astype(np.float32) * 0.1,
+        "pred_mix_b": rng.normal(size=(2, 2, 4096)).astype(np.float32) * 0.1,
+    }
+    cb = LogAudioCallback(output_dir=str(tmp_path / "aud"), num_examples=2)
+    cb.on_validation_end(3, None, audio, {})
+    wavs = sorted(os.listdir(tmp_path / "aud"))
+    assert wavs == ["epoch0003_ex0.wav", "epoch0003_ex1.wav"]
+
+    # fixed-song render callback with a fake model
+    song = tmp_path / "song"
+    song.mkdir()
+    t = 16384 * 3
+    for i in range(2):
+        write_audio(
+            str(song / f"s{i}.wav"),
+            rng.normal(size=(1, t)).astype(np.float32) * 0.1, 44100,
+        )
+    ref_path = str(tmp_path / "ref.wav")
+    write_audio(ref_path, rng.normal(size=(2, t)).astype(np.float32) * 0.1, 44100)
+
+    def model_apply(state):
+        def apply(tr, r):
+            n = tr.shape[1]
+            return (jnp.full((1, n, 2), 0.5), jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        return apply
+
+    cb2 = LogReferenceMix(
+        [str(song)], [ref_path], output_dir=str(tmp_path / "refmix"),
+        length=16384, model_apply=model_apply,
+        mix_console=BasicMixConsole(44100.0),
+    )
+    cb2.on_validation_end(1, None, {}, {})
+    assert os.listdir(tmp_path / "refmix") == ["epoch0001_song.wav"]
+
+    save_param_table(str(tmp_path / "params.json"),
+                     {"input_fader": {"gain_db": np.zeros((1, 2))}})
+    import json
+
+    tab = json.load(open(tmp_path / "params.json"))
+    assert tab["input_fader"]["gain_db"] == [[0.0, 0.0]]
