@@ -30,11 +30,13 @@ class LogAudioCallback:
         sample_rate: int = 44100,
         num_examples: int = 2,
         gap_seconds: float = 1.0,
+        mix_console=None,
     ) -> None:
         self.output_dir = output_dir
         self.sample_rate = sample_rate
         self.num_examples = num_examples
         self.gap_seconds = gap_seconds
+        self.mix_console = mix_console
 
     def on_validation_end(self, epoch: int, state, audio: dict, metrics: dict):
         os.makedirs(self.output_dir, exist_ok=True)
@@ -53,6 +55,28 @@ class LogAudioCallback:
                 cat,
                 self.sample_rate,
             )
+        # per-track parameter table (the reference's wandb.Table,
+        # callbacks/audio.py:96-134) — denormalized via the console when one
+        # is attached, else the raw normalized vectors
+        if "pred_params" in audio:
+            tp, fp, mp = audio["pred_params"]
+            if self.mix_console is not None:
+                td, _, _ = self.mix_console.param_dicts(
+                    np.asarray(tp), np.asarray(fp), np.asarray(mp)
+                )
+                save_param_table(
+                    os.path.join(self.output_dir, f"epoch{epoch:04d}_params.json"),
+                    td,
+                )
+            else:
+                save_param_table(
+                    os.path.join(self.output_dir, f"epoch{epoch:04d}_params.json"),
+                    {"normalized": {
+                        "track": np.asarray(tp),
+                        "fx_bus": np.asarray(fp),
+                        "master_bus": np.asarray(mp),
+                    }},
+                )
 
     def on_log(self, tag: str, metrics: dict) -> None:
         pass

@@ -415,6 +415,10 @@ class System:
                 "pred_mix_b": aux["pred_mix_b"],
                 "ref_mix_a": aux["ref_mix_a"],
                 "ref_mix_b": aux["ref_mix_b"],
+                # normalized (0,1) predicted parameter vectors — the audio
+                # callback logs the denormalized table (the reference logs a
+                # wandb.Table per val batch, callbacks/audio.py:96-134)
+                "pred_params": aux["pred_params"],
             }
 
         return jax.jit(eval_step)

@@ -317,10 +317,22 @@ def test_audio_callbacks(tmp_path):
         "ref_mix_b": rng.normal(size=(2, 2, 4096)).astype(np.float32) * 0.1,
         "pred_mix_b": rng.normal(size=(2, 2, 4096)).astype(np.float32) * 0.1,
     }
-    cb = LogAudioCallback(output_dir=str(tmp_path / "aud"), num_examples=2)
+    audio["pred_params"] = (
+        np.full((2, 3, 2), 0.5, np.float32), np.zeros((2, 0)), np.zeros((2, 0))
+    )
+    cb = LogAudioCallback(
+        output_dir=str(tmp_path / "aud"), num_examples=2,
+        mix_console=BasicMixConsole(44100.0),
+    )
     cb.on_validation_end(3, None, audio, {})
-    wavs = sorted(os.listdir(tmp_path / "aud"))
-    assert wavs == ["epoch0003_ex0.wav", "epoch0003_ex1.wav"]
+    files = sorted(os.listdir(tmp_path / "aud"))
+    assert files == [
+        "epoch0003_ex0.wav", "epoch0003_ex1.wav", "epoch0003_params.json"
+    ]
+    import json as _json
+
+    table = _json.load(open(tmp_path / "aud" / "epoch0003_params.json"))
+    assert table["input_fader"]["gain_db"][0][0] == 0.0  # 0.5 -> mid-range 0 dB
 
     # fixed-song render callback with a fake model
     song = tmp_path / "song"
