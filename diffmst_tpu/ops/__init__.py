@@ -15,6 +15,7 @@ from diffmst_tpu.ops.basic import (
 from diffmst_tpu.ops.biquad import biquad, sos_frequency_response
 from diffmst_tpu.ops.compressor import compressor, compressor_gain_db
 from diffmst_tpu.ops.eq import parametric_eq, parametric_eq_response
+from diffmst_tpu.ops.iir import biquad_scan, sosfilt_scan
 from diffmst_tpu.ops.loudness import (
     integrated_loudness,
     integrated_loudness_jax,
@@ -38,6 +39,8 @@ __all__ = [
     "compressor",
     "compressor_gain_db",
     "parametric_eq",
+    "sosfilt_scan",
+    "biquad_scan",
     "parametric_eq_response",
     "integrated_loudness",
     "integrated_loudness_jax",

@@ -108,6 +108,7 @@ def parametric_eq(
     x: jnp.ndarray,
     sample_rate: float,
     linear_gain: jnp.ndarray | None = None,
+    method: str = "fs",
     **eq_params: jnp.ndarray,
 ) -> jnp.ndarray:
     """Apply the 6-band parametric EQ to audio.
@@ -119,15 +120,39 @@ def parametric_eq(
         response — a fader in series with the EQ costs no extra HBM pass
         (the console folds the input fader here; a time-domain pre-multiply
         cannot fuse into the FFT library call).
+      method: "fs" (default) — frequency sampling: circular convolution over
+        the full segment, the reference's numerical method; "scan" — exact
+        causal IIR via associative scans (ops/iir.py); "scan_pallas" — the
+        same cascade fused into one streaming Pallas kernel
+        (kernels/iir_fused.py). The causal methods are opt-in deviations
+        (no circular wrap-in), same policy as the compressor smoothers.
       **eq_params: the 18 named band parameters, each with shape (batch,)
         (one filter per batch item, shared across channels — matching the
         reference call sites modules.py:237-241 and modules.py:293-297).
 
     Returns:
-      Filtered audio, same shape as ``x``. Frequency-sampling (circular)
-      convolution over the full segment, as in the reference.
+      Filtered audio, same shape as ``x``.
     """
     n = x.shape[-1]
+    if method in ("scan", "scan_pallas", "scan_pallas_interpret"):
+        bs, chs, _ = x.shape
+        b, a = _eq_sos(sample_rate, **eq_params)  # (bs, 6, 3)
+        b = jnp.repeat(b, chs, axis=0)
+        a = jnp.repeat(a, chs, axis=0)
+        flat = x.reshape(bs * chs, n)
+        if linear_gain is not None:
+            flat = flat * jnp.repeat(linear_gain, chs)[:, None]
+        if method == "scan":
+            from diffmst_tpu.ops.iir import sosfilt_scan
+
+            y = sosfilt_scan(flat, b, a)
+        else:
+            from diffmst_tpu.kernels.iir_fused import sosfilt_pallas
+
+            y = sosfilt_pallas(
+                flat, b, a, 256, method.endswith("interpret")
+            )
+        return y.reshape(bs, chs, n).astype(x.dtype)
     H = parametric_eq_response(sample_rate, n, **eq_params)  # (batch, bins)
     if linear_gain is not None:
         H = H * linear_gain[:, None].astype(H.real.dtype)

@@ -334,3 +334,46 @@ def test_loudness_normalize_hits_target():
     x = rng.normal(size=int(SR * 2)).astype(np.float32) * 0.3
     y = ops.loudness_normalize(x, SR, -24.0)
     assert abs(ops.integrated_loudness(y, SR) - (-24.0)) < 0.05
+
+
+def test_parametric_eq_scan_method_matches_fs_response():
+    """The causal ('scan') EQ matches the frequency-sampling EQ away from
+    the wrap-in region for well-conditioned filters. f32 parallel-scan IIR
+    carries a conditioning factor ~eps/(1-r)^2 (r = pole radius), so the
+    check applies to items with r <= 0.999 — extreme low-frequency high-Q
+    shelves (r ~ 0.9996 -> error O(1)) are out of the opt-in mode's f32
+    envelope (documented in ops/iir.py)."""
+    key = jax.random.PRNGKey(0)
+    bs, t = 4, 16384
+    x = jax.random.normal(key, (bs, 2, t)) * 0.1
+    from diffmst_tpu.console.ranges import advanced_param_ranges
+    from diffmst_tpu.ops.eq import _eq_sos
+
+    p = {}
+    for i, (k, (lo, hi)) in enumerate(
+        advanced_param_ranges(SR)["parametric_eq"].items()
+    ):
+        p[k] = jax.random.uniform(jax.random.fold_in(key, i), (bs,), None, lo, hi)
+    g = jnp.array([0.5, 2.0, 1.0, 1.0])
+
+    y_fs = np.asarray(ops.parametric_eq(x, SR, linear_gain=g, **p))
+    y_scan = np.asarray(
+        ops.parametric_eq(x, SR, linear_gain=g, method="scan", **p)
+    )
+    assert np.isfinite(y_scan).all()
+
+    b, a = _eq_sos(SR, **p)
+    an = np.asarray(a, np.float64)
+    checked = 0
+    for i in range(bs):
+        r = max(
+            np.abs(np.roots(an[i, s])).max() for s in range(an.shape[1])
+        )
+        if r > 0.999:
+            continue  # outside the f32 scan envelope
+        checked += 1
+        peak = np.abs(y_fs[i]).max()
+        # skip the wrap-in region: fs is circular, scan is causal
+        d = np.abs(y_fs[i] - y_scan[i])[..., 4096:].max() / peak
+        assert d < 1e-2, (i, d)
+    assert checked >= 2  # the draw covers well-conditioned items
