@@ -146,6 +146,12 @@ class AdvancedMixConsole:
     #   "decoupled" — attack/release with a working release (parallel);
     #   "ballistics" — exact branching ballistics (sequential; offline).
     comp_smoother: str = "auto"
+    # EQ application method (ops/eq.py): "fs" (default) — the reference's
+    # frequency-sampling circular convolution; "scan" / "scan_pallas" —
+    # exact causal IIR via associative scans / the fused streaming kernel
+    # (kernels/iir_fused.py). Causal modes are opt-in deviations; see
+    # ops/iir.py for the f32 pole-radius envelope.
+    eq_method: str = "fs"
     # Optional device mesh: when set (and it has an "mp" axis), the per-track
     # chain runs under shard_map with tracks sharded over mp — explicit
     # locality for the embarrassingly-parallel section (see _track_chain).
@@ -231,7 +237,9 @@ class AdvancedMixConsole:
             eq = {k: flat(v) for k, v in track_param_dict["parametric_eq"].items()}
             # fader folds into the EQ's frequency response: one fewer full
             # (B, T) HBM round trip (elementwise can't fuse into the FFT call)
-            x = ops.parametric_eq(x, sr, linear_gain=fader_lin, **eq)
+            x = ops.parametric_eq(
+                x, sr, linear_gain=fader_lin, method=self.eq_method, **eq
+            )
         if use_track_compressor:
             comp = {k: flat(v) for k, v in track_param_dict["compressor"].items()}
             x = ops.compressor(
@@ -306,7 +314,8 @@ class AdvancedMixConsole:
                 master, sr, master_bus_param_dict["input_fader"]["gain_db"]
             )
             master = ops.parametric_eq(
-                master, sr, **master_bus_param_dict["parametric_eq"]
+                master, sr, method=self.eq_method,
+                **master_bus_param_dict["parametric_eq"]
             )
             master = ops.compressor(
                 master, sr, **master_bus_param_dict["compressor"],

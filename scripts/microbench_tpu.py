@@ -80,8 +80,17 @@ def bench_console(results):
     fp = jax.random.uniform(k2, (1, 25))
     mp = jax.random.uniform(k3, (1, 26))
 
-    for sm in ["fsm", "auto", "decoupled"]:
-        console = AdvancedMixConsole(SR, comp_smoother=sm)
+    variants = [
+        ("fsm", {}),
+        ("auto", {}),
+        ("decoupled", {}),
+        ("causal_pallas", {"comp_smoother": "fused_pallas",
+                           "eq_method": "scan_pallas"}),
+    ]
+    for sm, extra in variants:
+        console = AdvancedMixConsole(
+            SR, **({"comp_smoother": sm} if not extra else extra)
+        )
 
         def fwdbwd(args):
             tp_, mp_ = args

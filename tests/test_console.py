@@ -221,3 +221,25 @@ def test_16track_fx_bus_full_chain():
     g = jax.grad(loss)(fp)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0  # reverb params actually participate
+
+
+def test_console_causal_mode_runs():
+    """Opt-in fully-causal console (scan EQ + scan compressor) renders
+    finite audio close to the default console in the interior."""
+    c_fs = AdvancedMixConsole(SR, comp_smoother="scan")
+    c_causal = AdvancedMixConsole(SR, comp_smoother="scan", eq_method="scan")
+    key = jax.random.PRNGKey(3)
+    tracks = jax.random.normal(key, (1, 3, 16384)) * 10 ** (-24 / 20)
+    k1, k2, k3 = jax.random.split(key, 3)
+    tp = jax.random.uniform(k1, (1, 3, 27), minval=0.3, maxval=0.7)
+    fp = jax.random.uniform(k2, (1, 25))
+    mp = jax.random.uniform(k3, (1, 26), minval=0.3, maxval=0.7)
+
+    m_fs = np.asarray(c_fs(tracks, tp, fp, mp, use_fx_bus=False).mix)
+    m_ca = np.asarray(c_causal(tracks, tp, fp, mp, use_fx_bus=False).mix)
+    assert np.isfinite(m_ca).all()
+    peak = np.abs(m_fs).max()
+    # mid-range normalized params keep every pole comfortably inside the
+    # f32 scan envelope; interior agreement to ~1% of peak
+    d = np.abs(m_fs - m_ca)[..., 4096:].max() / peak
+    assert d < 2e-2, d
