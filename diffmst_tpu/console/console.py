@@ -135,9 +135,10 @@ class AdvancedMixConsole:
     reverb_num_samples: int = 65536
     reverb_num_taps: int = 1023
     # Ballistics smoother for both compressors (ops/compressor.py):
-    #   "auto" (default) — the exact causal attack one-pole, kernel-backed on
-    #     TPU ("scan_pallas", diffmst_tpu/kernels/scan1p.py) and
-    #     associative-scan elsewhere; identical numerics on both.
+    #   "auto" (default) — the exact causal attack one-pole as an XLA
+    #     associative scan (measured fastest exact fwd+bwd on TPU v5e —
+    #     scripts/microbench_tpu.py; the Pallas kernel stays available as
+    #     "scan_pallas", identical numerics).
     #   "fsm" — bit-level reference behavior: the same one-pole applied as a
     #     circular FFT convolution, which wraps the gain envelope across
     #     segment ends (measured: up to ~57% of peak deviation from the

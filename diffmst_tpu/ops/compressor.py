@@ -42,7 +42,9 @@ that streams the recurrence through VMEM in one HBM pass, with custom VJPs):
     ``associative_scan`` too. Unlike the state-dependent ``"ballistics"``
     branching (inherently sequential), this runs in O(log T) depth and is
     the recommended high-quality mode for full-song rendering.
-  * ``"auto"``: ``"scan_pallas"`` on TPU, ``"scan"`` elsewhere.
+  * ``"auto"``: resolves to ``"scan"`` — measured fastest exact-causal
+    fwd+bwd on TPU v5e (scripts/microbench_tpu.py; the Pallas kernel's
+    custom VJP is slower to differentiate than XLA's native scan).
 """
 
 from __future__ import annotations
@@ -193,7 +195,12 @@ def compressor_gain_db(
     )
     alpha_a = _ballistics_coeff(attack_ms, sample_rate)
     if smoother == "auto":
-        smoother = "scan_pallas" if jax.default_backend() == "tpu" else "scan"
+        # Measured on TPU v5e (scripts/microbench_tpu.py, 8 x 262,144):
+        # XLA associative_scan beats the Pallas kernel on fwd+bwd
+        # (7.6 ms vs 9.6 ms) with identical numerics — XLA's native scan
+        # differentiation is cheaper than the kernel's custom VJP. The
+        # kernel remains available as "scan_pallas".
+        smoother = "scan"
     if smoother == "fsm":
         return _smooth_fsm(g_c, alpha_a)
     if smoother == "scan":

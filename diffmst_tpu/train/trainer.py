@@ -210,32 +210,39 @@ class Trainer:
         return state
 
     def _run_validation(
-        self, state: TrainState, flags, key, epoch: int
+        self, state: TrainState, flags, key, epoch: int,
+        dataloader=None, tag: str = "val",
     ) -> Dict[str, float]:
-        """One full pass over the val dataloader; logs + callbacks."""
+        """One full pass over an eval dataloader (val by default);
+        logs + callbacks."""
         eval_fn = self.system.make_eval_step(flags)
         agg: Dict[str, list] = collections.defaultdict(list)
         audio = None
-        for batch in _prefetch(
-            self.datamodule.val_dataloader(), self._put_batch
-        ):
+        if dataloader is None:
+            dataloader = self.datamodule.val_dataloader()
+        for batch in _prefetch(dataloader, self._put_batch):
             key, k_step = jax.random.split(key)
             metrics, audio = eval_fn(state, batch, k_step)
             for k, v in metrics.items():
                 agg[k].append(float(v))
         val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
-        self._log("val", {**val_metrics, "epoch": epoch})
+        self._log(tag, {**val_metrics, "epoch": epoch})
         for cb in self.callbacks:
             if hasattr(cb, "on_validation_end") and audio is not None:
                 cb.on_validation_end(epoch, state, audio, val_metrics)
         return val_metrics
 
-    def validate(self, resume: Optional[str] = None) -> Dict[str, float]:
-        """A single validation pass (the reference CLI's ``validate``
-        subcommand, /root/reference/main.py:14-22): restore (or init) state,
-        run the val dataloader once, return aggregated metrics."""
+    def _eval_pass(
+        self, resume: Optional[str], loader_fn, tag: str
+    ) -> Dict[str, float]:
+        """Restore (or init) state, run one pass over ``loader_fn()``.
+
+        ``loader_fn`` is a zero-arg dataloader *factory*: the loaders are
+        one-shot generators, and the init example and the eval pass each
+        need a fresh one (otherwise the first batch would be skipped).
+        """
         key = jax.random.PRNGKey(self.seed)
-        first = next(iter(self.datamodule.val_dataloader()))
+        first = next(iter(loader_fn()))
         example = _to_batch(first, lambda x: x)
         state = self.system.init(key, example)
         epoch = 0
@@ -245,7 +252,21 @@ class Trainer:
         state = self._put_state(state)
         flags = self.system.effect_flags(epoch)
         key, k_val = jax.random.split(key)
-        return self._run_validation(state, flags, k_val, epoch)
+        return self._run_validation(
+            state, flags, k_val, epoch, dataloader=loader_fn(), tag=tag
+        )
+
+    def validate(self, resume: Optional[str] = None) -> Dict[str, float]:
+        """A single validation pass (the reference CLI's ``validate``
+        subcommand, /root/reference/main.py:14-22): restore (or init) state,
+        run the val dataloader once, return aggregated metrics."""
+        return self._eval_pass(resume, self.datamodule.val_dataloader, "val")
+
+    def test(self, resume: Optional[str] = None) -> Dict[str, float]:
+        """A single pass over the test split (LightningCLI's ``test``
+        subcommand; reference DataModule builds a test dataset at
+        /root/reference/mst/dataloader.py:423-516)."""
+        return self._eval_pass(resume, self.datamodule.test_dataloader, "test")
 
     def _log(self, tag: str, metrics: Dict[str, float]) -> None:
         parts = " ".join(

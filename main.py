@@ -92,7 +92,7 @@ def build_from_config(cfg: dict):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="diffmst_tpu trainer")
-    parser.add_argument("command", choices=["fit", "validate"])
+    parser.add_argument("command", choices=["fit", "validate", "test"])
     parser.add_argument(
         "-c", "--config", action="append", required=True,
         help="YAML config (repeatable; later files overlay earlier)",
@@ -110,9 +110,12 @@ def main(argv=None):
 
     if args.command == "fit":
         trainer.fit(resume=args.ckpt_path)
-    else:
+    elif args.command == "validate":
         metrics = trainer.validate(resume=args.ckpt_path)
         print(f"validate: {metrics}")
+    else:
+        metrics = trainer.test(resume=args.ckpt_path)
+        print(f"test: {metrics}")
 
 
 if __name__ == "__main__":

@@ -26,6 +26,17 @@ SR = 44100.0
 B, T = 8, 262144
 SMOOTHERS = ["fsm", "scan", "scan_pallas", "fused_pallas", "decoupled", "decoupled_pallas"]
 
+OUT_PATH = os.path.join("logs", "microbench_tpu.json")
+
+
+def _persist(results):
+    """Write partial results after every measurement: remote compiles can
+    take minutes each and a killed run should not lose what already landed."""
+    os.makedirs("logs", exist_ok=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+
+
 
 def bench_smoothers(results):
     key = jax.random.PRNGKey(0)
@@ -69,6 +80,7 @@ def bench_smoothers(results):
             "fwd_bwd_ms": round(t_bwd * 1e3, 3),
             "fwd_x_realtime": round(B * T / SR / t_fwd, 1),
         }
+        _persist(results)
         print(sm, results[f"compressor_{sm}"], flush=True)
 
 
@@ -107,6 +119,7 @@ def bench_console(results):
             "ms": round(t * 1e3, 3),
             "x_realtime": round(T / SR / t, 1),
         }
+        _persist(results)
         print("console", sm, results[f"console_fwd_bwd_{sm}"], flush=True)
 
 
@@ -135,6 +148,7 @@ def bench_console_16track_fx(results):
         "ms": round(t * 1e3, 3),
         "x_realtime": round(T / SR / t, 1),
     }
+    _persist(results)
     print("console 16-track+fx", results["console_16track_fx_fwd_bwd"], flush=True)
 
 
@@ -146,9 +160,7 @@ def main():
     bench_smoothers(results)
     bench_console(results)
     bench_console_16track_fx(results)
-    os.makedirs("logs", exist_ok=True)
-    with open("logs/microbench_tpu.json", "w") as f:
-        json.dump(results, f, indent=1)
+    _persist(results)
     print(json.dumps(results))
 
 

@@ -164,6 +164,32 @@ def test_cli_validate_runs_real_pass(tmp_path, dataset_dir, capsys):  # noqa: F8
     assert "[val]" in out
 
 
+def test_cli_test_subcommand_runs_test_split(tmp_path, dataset_dir, capsys):  # noqa: F811
+    """`test` runs a real pass over the test split (LightningCLI's test
+    subcommand; reference test dataset at dataloader.py:496-516)."""
+    root, meta, mix_meta = dataset_dir
+    import main as cli
+    from diffmst_tpu.utils.config import load_config
+
+    # The fixture ships train/val only; give it a test split.
+    m = yaml.safe_load(open(meta))
+    m["test"] = m["val"]
+    meta2 = tmp_path / "meta_with_test.yaml"
+    meta2.write_text(yaml.safe_dump(m))
+    mm = yaml.safe_load(open(mix_meta))
+    mm["test"] = mm["val"]
+    mix2 = tmp_path / "mixes_with_test.yaml"
+    mix2.write_text(yaml.safe_dump(mm))
+
+    cfg_path = _write_cfg(tmp_path, root, str(meta2), str(mix2))
+    system, datamodule, trainer = cli.build_from_config(load_config([cfg_path]))
+    datamodule._test_kwargs["num_examples_per_epoch"] = 2
+    metrics = trainer.test()
+    assert "loss" in metrics and np.isfinite(metrics["loss"])
+    out = capsys.readouterr().out
+    assert "[test]" in out
+
+
 def test_cli_mesh_wiring(tmp_path, dataset_dir):  # noqa: F811
     """trainer.devices > 1 in the YAML builds a dp mesh (round-1 gap: CLI
     could only ever train single-device)."""
