@@ -92,12 +92,25 @@ def build_from_config(cfg: dict):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="diffmst_tpu trainer")
-    parser.add_argument("command", choices=["fit", "validate", "test"])
+    parser.add_argument(
+        "command", choices=["fit", "validate", "test", "predict"]
+    )
     parser.add_argument(
         "-c", "--config", action="append", required=True,
         help="YAML config (repeatable; later files overlay earlier)",
     )
     parser.add_argument("--ckpt_path", default=None, help="resume checkpoint")
+    # predict-only arguments (LightningCLI's predict stage, adapted to this
+    # workload: full-song style transfer over a stem directory)
+    parser.add_argument("--track_dir", default=None, help="predict: stem dir")
+    parser.add_argument("--ref", default=None, help="predict: reference mix wav")
+    parser.add_argument(
+        "--output", default="pred_mix.wav", help="predict: output wav"
+    )
+    parser.add_argument(
+        "--render_mode", default="ola", choices=["ola", "streaming"],
+        help="predict: OLA (reference) or seam-free streaming rendering",
+    )
     args = parser.parse_args(argv)
 
     from diffmst_tpu.utils.config import load_config
@@ -105,6 +118,9 @@ def main(argv=None):
     cfg = load_config(args.config)
     print(f"devices: {jax.devices()}")
     system, datamodule, trainer = build_from_config(cfg)
+
+    if args.command == "predict":
+        return _predict(system, args)
     if datamodule is None:
         raise SystemExit("config has no `data:` section")
 
@@ -116,6 +132,67 @@ def main(argv=None):
     else:
         metrics = trainer.test(resume=args.ckpt_path)
         print(f"test: {metrics}")
+
+
+def _predict(system, args):
+    """Full-song inference from the config's model/console (the reference
+    exposes this via scripts, e.g. /root/reference/scripts/run.py; here it is
+    also a first-class CLI stage)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffmst_tpu.data import read_audio, write_audio
+    from diffmst_tpu.utils.inference import run_diffmst
+
+    if not args.track_dir or not args.ref:
+        raise SystemExit("predict requires --track_dir and --ref")
+
+    stems = []
+    for f in sorted(os.listdir(args.track_dir)):
+        if f.endswith(".wav"):
+            a, _ = read_audio(os.path.join(args.track_dir, f))
+            stems.append(a.mean(axis=0))
+    if not stems:
+        raise SystemExit(f"no .wav stems in {args.track_dir}")
+    total = min(s.shape[-1] for s in stems)
+    tracks = np.stack([s[:total] for s in stems])[None]
+    ref, _ = read_audio(args.ref)
+
+    model = system.model
+    if args.ckpt_path:
+        from diffmst_tpu.utils.checkpoint import restore_state
+
+        state = restore_state(args.ckpt_path)
+        params = state["params"] if isinstance(state, dict) else state.params
+        bstats = (
+            state.get("batch_stats", {})
+            if isinstance(state, dict)
+            else state.batch_stats
+        )
+        variables = {
+            "params": params,
+            **({"batch_stats": bstats} if bstats else {}),
+        }
+    else:
+        print("warning: no --ckpt_path; using random init")
+        n = min(2, tracks.shape[1])
+        seg = min(262144, total)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(tracks[:, :n, :seg]),
+            jnp.asarray(ref[None, :, :seg]),
+            jnp.zeros((1, n), bool),
+        )
+
+    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    mix, *_ = run_diffmst(
+        tracks, ref[None], apply, system.mix_console,
+        render_mode=args.render_mode,
+    )
+    write_audio(args.output, mix[0] / max(np.abs(mix).max(), 1e-8), 44100)
+    print(f"predict: wrote {args.output}")
 
 
 if __name__ == "__main__":

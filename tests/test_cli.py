@@ -190,6 +190,29 @@ def test_cli_test_subcommand_runs_test_split(tmp_path, dataset_dir, capsys):  # 
     assert "[test]" in out
 
 
+def test_cli_predict_writes_mix(tmp_path, dataset_dir, capsys):  # noqa: F811
+    """`predict` renders a full-song mix from stems + reference via the
+    config's model/console (reference scripts/run.py role, as a CLI stage)."""
+    root, meta, mix_meta = dataset_dir
+    import main as cli
+    from diffmst_tpu.data import read_audio
+
+    cfg_path = _write_cfg(tmp_path, root, meta, mix_meta)
+    track_dir = root / "train_song0"
+    ref = root / "mixes" / "train_mix0.wav"
+    out = tmp_path / "pred.wav"
+    cli.main([
+        "predict", "-c", cfg_path,
+        "--track_dir", str(track_dir), "--ref", str(ref),
+        "--output", str(out),
+    ])
+    assert out.exists()
+    mix, sr = read_audio(str(out))
+    assert mix.shape[0] == 2 and mix.shape[1] > 0
+    assert np.all(np.isfinite(mix))
+    assert "predict: wrote" in capsys.readouterr().out
+
+
 def test_cli_mesh_wiring(tmp_path, dataset_dir):  # noqa: F811
     """trainer.devices > 1 in the YAML builds a dp mesh (round-1 gap: CLI
     could only ever train single-device)."""
