@@ -1,0 +1,232 @@
+"""AOT export of the inference graph for serving (jax.export).
+
+A production serving host should not need the Python model definitions, the
+Flax module tree, or the console code — only the compiled computation. This
+module serializes the two fixed-shape functions that full-song style
+transfer needs (the same split run_diffmst uses, utils/inference.py; the
+reference exposes inference only through Python scripts,
+/root/reference/scripts/run.py and mst/utils.py:32-173):
+
+  * ``predict_params(tracks, ref) -> (track_params, fx_params, master_params)``
+    — one model call on the analysis windows (reference utils.py:117-119).
+  * ``render_window(wins, tp, fp, mp) -> mix`` — the batched console render
+    used by the OLA / overlap-save renderers (fixed window batch of
+    ``render_bs``, matching ``_render_batched``).
+
+Both are serialized with ``jax.export`` (StableHLO) into a directory with a
+JSON manifest; ``load_inference_export`` restores them without touching
+model code, and ``run_exported`` reproduces run_diffmst's host pipeline
+(LUFS gate/normalize + windowed render) on top of the restored functions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import export as _jax_export
+
+from diffmst_tpu.ops.loudness import integrated_loudness
+from diffmst_tpu.utils.inference import overlap_add_render, overlap_save_render
+
+__all__ = [
+    "save_inference_export",
+    "load_inference_export",
+    "run_exported",
+    "ExportedInference",
+]
+
+_MANIFEST = "manifest.json"
+_PREDICT = "predict_params.stablehlo"
+_RENDER = "render_window.stablehlo"
+
+
+class ExportedInference(NamedTuple):
+    """Deserialized inference graph + its static geometry."""
+
+    predict_params: Callable
+    render_window: Callable
+    manifest: dict
+
+
+def save_inference_export(
+    path: str,
+    model,
+    variables: dict,
+    mix_console,
+    *,
+    num_tracks: int,
+    analysis_len: int = 262144,
+    render_bs: int = 8,
+    use_fx_bus: bool = False,
+    sample_rate: float = 44100.0,
+    platforms: Optional[Sequence[str]] = None,
+    key: Optional[jax.Array] = None,
+) -> dict:
+    """Serialize the inference graph to ``path`` (a directory).
+
+    Args:
+      model / variables: the Flax model and its restored variables.
+      mix_console: console instance (its settings are baked into the graph).
+      num_tracks: static track count the export is specialized to (pad the
+        input with silent tracks to reuse one export across songs).
+      analysis_len: model analysis window (reference: 262,144).
+      render_bs: windows per render call — must match the renderers'
+        fixed batching (inference._RENDER_BS).
+      platforms: lowering platforms (e.g. ["tpu", "cpu"]); None = current.
+
+    Returns the manifest dict.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def predict(tracks, ref):
+        return model.apply(variables, tracks, ref)
+
+    def render(wins, tp, fp, mp):
+        n = wins.shape[0]
+        out = mix_console(
+            wins,
+            jnp.tile(tp, (n, 1, 1)),
+            jnp.tile(fp, (n, 1)),
+            jnp.tile(mp, (n, 1)),
+            use_fx_bus=use_fx_bus,
+            key=key,
+        )
+        return out.mix
+
+    t_spec = jax.ShapeDtypeStruct((1, num_tracks, analysis_len), jnp.float32)
+    r_spec = jax.ShapeDtypeStruct((1, 2, analysis_len), jnp.float32)
+    w_spec = jax.ShapeDtypeStruct(
+        (render_bs, num_tracks, analysis_len), jnp.float32
+    )
+    tp_spec = jax.ShapeDtypeStruct(
+        (1, num_tracks, mix_console.num_track_control_params), jnp.float32
+    )
+    fp_spec = jax.ShapeDtypeStruct(
+        (1, mix_console.num_fx_bus_control_params), jnp.float32
+    )
+    mp_spec = jax.ShapeDtypeStruct(
+        (1, mix_console.num_master_bus_control_params), jnp.float32
+    )
+
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    exp_predict = _jax_export.export(jax.jit(predict), **kwargs)(t_spec, r_spec)
+    exp_render = _jax_export.export(jax.jit(render), **kwargs)(
+        w_spec, tp_spec, fp_spec, mp_spec
+    )
+
+    manifest = {
+        "format": "diffmst_tpu.inference_export.v1",
+        "num_tracks": num_tracks,
+        "analysis_len": analysis_len,
+        "render_bs": render_bs,
+        "use_fx_bus": use_fx_bus,
+        "sample_rate": sample_rate,
+        "platforms": list(exp_predict.platforms),
+        "param_layout": [
+            mix_console.num_track_control_params,
+            mix_console.num_fx_bus_control_params,
+            mix_console.num_master_bus_control_params,
+        ],
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PREDICT), "wb") as f:
+        f.write(exp_predict.serialize())
+    with open(os.path.join(path, _RENDER), "wb") as f:
+        f.write(exp_render.serialize())
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_inference_export(path: str) -> ExportedInference:
+    """Restore an export directory into callables (no model code needed)."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "diffmst_tpu.inference_export.v1":
+        raise ValueError(f"not an inference export: {path}")
+    with open(os.path.join(path, _PREDICT), "rb") as f:
+        exp_predict = _jax_export.deserialize(f.read())
+    with open(os.path.join(path, _RENDER), "rb") as f:
+        exp_render = _jax_export.deserialize(f.read())
+    return ExportedInference(
+        predict_params=jax.jit(exp_predict.call),
+        render_window=jax.jit(exp_render.call),
+        manifest=manifest,
+    )
+
+
+def run_exported(
+    exported: ExportedInference,
+    tracks: np.ndarray,
+    ref: np.ndarray,
+    render_mode: str = "ola",
+) -> np.ndarray:
+    """run_diffmst's host pipeline on a restored export.
+
+    Mirrors utils/inference.py::run_diffmst: per-track LUFS gate (< -80
+    skipped) + normalize to -48, one predict call on the analysis windows,
+    windowed full-length render. Gated/missing tracks are replaced with
+    silence so the export's static ``num_tracks`` is always honored.
+
+    Args:
+      tracks: (1, n, total_len) raw mono stems, n <= manifest num_tracks.
+      ref: (1, 2, ref_len) stereo reference mix.
+
+    Returns:
+      (1, 2, total_len) rendered mix (host array).
+    """
+    m = exported.manifest
+    num_tracks = m["num_tracks"]
+    analysis_len = m["analysis_len"]
+    sr = m["sample_rate"]
+    if tracks.shape[1] > num_tracks:
+        raise ValueError(
+            f"{tracks.shape[1]} tracks > export's static {num_tracks}"
+        )
+    total = tracks.shape[-1]
+
+    def crop_or_pad(x, n):
+        if x.shape[-1] >= n:
+            return x[..., :n]
+        return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+
+    analysis_tracks = crop_or_pad(tracks, analysis_len)
+    analysis_ref = crop_or_pad(ref, analysis_len).astype(np.float32)
+
+    norm = np.zeros((1, num_tracks, total), np.float32)
+    norm_analysis = np.zeros((1, num_tracks, analysis_len), np.float32)
+    kept = 0
+    for i in range(tracks.shape[1]):
+        lufs = integrated_loudness(np.asarray(analysis_tracks[0, i]), sr)
+        if not np.isfinite(lufs) or lufs < -80.0:
+            continue
+        g = np.float32(10.0 ** ((-48.0 - lufs) / 20.0))
+        norm[0, i] = tracks[0, i] * g
+        norm_analysis[0, i] = analysis_tracks[0, i] * g
+        kept += 1
+    if kept == 0:
+        raise ValueError("all tracks gated out (< -80 LUFS)")
+
+    tp, fp, mp = exported.predict_params(
+        jnp.asarray(norm_analysis), jnp.asarray(analysis_ref)
+    )
+
+    def render(wins):
+        return exported.render_window(wins, tp, fp, mp)
+
+    if render_mode == "streaming":
+        # context + block must equal the export's static window length, so
+        # streaming uses a half-window context (more warm-up than the
+        # default quarter — same compute factor as OLA, still seam-free).
+        return overlap_save_render(
+            render, norm, block_len=analysis_len // 2,
+            context_len=analysis_len - analysis_len // 2,
+        )
+    return overlap_add_render(render, norm, analysis_len)

@@ -1,0 +1,106 @@
+"""AOT inference export (jax.export serving path): save -> load -> run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffmst_tpu.console import AdvancedMixConsole
+from diffmst_tpu.models import (
+    MixStyleTransferModel,
+    SpectrogramEncoder,
+    TransformerController,
+)
+from diffmst_tpu.utils.export import (
+    load_inference_export,
+    run_exported,
+    save_inference_export,
+)
+from diffmst_tpu.utils.inference import run_diffmst
+
+SR = 44100.0
+
+
+def _tiny_model():
+    enc = dict(embed_dim=32, n_fft=2048, hop_length=128, cnn_base_width=4)
+    return MixStyleTransferModel(
+        track_encoder=SpectrogramEncoder(**enc),
+        mix_encoder=SpectrogramEncoder(**enc),
+        controller=TransformerController(
+            embed_dim=32,
+            num_track_control_params=27,
+            num_fx_bus_control_params=25,
+            num_master_bus_control_params=26,
+            num_layers=1,
+            nhead=4,
+        ),
+    )
+
+
+def test_export_roundtrip_matches_run_diffmst(tmp_path):
+    """Exported graph, restored WITHOUT model code, reproduces run_diffmst."""
+    num_tracks, analysis_len = 3, 16384
+    total = analysis_len * 2 + 5000
+    rng = np.random.default_rng(0)
+    tracks = (rng.normal(size=(1, num_tracks, total)) * 0.1).astype(np.float32)
+    ref = (rng.normal(size=(1, 2, analysis_len)) * 0.1).astype(np.float32)
+
+    model = _tiny_model()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(tracks[:, :, :analysis_len]),
+        jnp.asarray(ref),
+        jnp.zeros((1, num_tracks), bool),
+    )
+    console = AdvancedMixConsole(SR)
+
+    out_dir = tmp_path / "export"
+    manifest = save_inference_export(
+        str(out_dir), model, variables, console,
+        num_tracks=num_tracks, analysis_len=analysis_len,
+    )
+    assert manifest["num_tracks"] == num_tracks
+    assert (out_dir / "manifest.json").exists()
+    assert (out_dir / "predict_params.stablehlo").exists()
+
+    exported = load_inference_export(str(out_dir))
+    mix_exp = run_exported(exported, tracks, ref)
+
+    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    mix_ref, *_ = run_diffmst(
+        tracks, ref, apply, console, analysis_len=analysis_len
+    )
+
+    assert mix_exp.shape == mix_ref.shape == (1, 2, total)
+    assert np.isfinite(mix_exp).all()
+    peak = max(np.abs(mix_ref).max(), 1e-9)
+    assert np.max(np.abs(mix_exp - mix_ref)) / peak < 1e-4
+
+
+def test_export_gates_silent_tracks(tmp_path):
+    """run_exported applies the -80 LUFS gate; gated slots render silence."""
+    num_tracks, analysis_len = 3, 16384
+    total = analysis_len * 2
+    rng = np.random.default_rng(1)
+    tracks = np.zeros((1, num_tracks, total), np.float32)
+    tracks[0, 0] = rng.normal(size=total).astype(np.float32) * 0.1
+    # tracks 1..2 silent -> gated
+    ref = (rng.normal(size=(1, 2, analysis_len)) * 0.1).astype(np.float32)
+
+    model = _tiny_model()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(tracks[:, :, :analysis_len]),
+        jnp.asarray(ref),
+        jnp.zeros((1, num_tracks), bool),
+    )
+    console = AdvancedMixConsole(SR)
+    out_dir = tmp_path / "export"
+    save_inference_export(
+        str(out_dir), model, variables, console,
+        num_tracks=num_tracks, analysis_len=analysis_len,
+    )
+    exported = load_inference_export(str(out_dir))
+    mix = run_exported(exported, tracks, ref, render_mode="streaming")
+    assert mix.shape == (1, 2, total)
+    assert np.isfinite(mix).all()
+    assert np.abs(mix).max() > 0.0
