@@ -93,7 +93,7 @@ def build_from_config(cfg: dict):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="diffmst_tpu trainer")
     parser.add_argument(
-        "command", choices=["fit", "validate", "test", "predict"]
+        "command", choices=["fit", "validate", "test", "predict", "export"]
     )
     parser.add_argument(
         "-c", "--config", action="append", required=True,
@@ -111,6 +111,15 @@ def main(argv=None):
         "--render_mode", default="ola", choices=["ola", "streaming"],
         help="predict: OLA (reference) or seam-free streaming rendering",
     )
+    # export-only arguments (AOT serving graph, utils/export.py)
+    parser.add_argument(
+        "--num_tracks", type=int, default=8,
+        help="export: static track count of the serving graph",
+    )
+    parser.add_argument(
+        "--analysis_len", type=int, default=262144,
+        help="export: analysis/render window length in samples",
+    )
     args = parser.parse_args(argv)
 
     from diffmst_tpu.utils.config import load_config
@@ -121,6 +130,8 @@ def main(argv=None):
 
     if args.command == "predict":
         return _predict(system, args)
+    if args.command == "export":
+        return _export(system, args)
     if datamodule is None:
         raise SystemExit("config has no `data:` section")
 
@@ -161,30 +172,17 @@ def _predict(system, args):
     ref, _ = read_audio(args.ref)
 
     model = system.model
-    if args.ckpt_path:
-        from diffmst_tpu.utils.checkpoint import restore_state
-
-        state = restore_state(args.ckpt_path)
-        params = state["params"] if isinstance(state, dict) else state.params
-        bstats = (
-            state.get("batch_stats", {})
-            if isinstance(state, dict)
-            else state.batch_stats
-        )
-        variables = {
-            "params": params,
-            **({"batch_stats": bstats} if bstats else {}),
-        }
-    else:
-        print("warning: no --ckpt_path; using random init")
-        n = min(2, tracks.shape[1])
-        seg = min(262144, total)
-        variables = model.init(
+    n = min(2, tracks.shape[1])
+    seg = min(262144, total)
+    variables = _load_variables(
+        model, args.ckpt_path,
+        lambda: model.init(
             jax.random.PRNGKey(0),
             jnp.asarray(tracks[:, :n, :seg]),
             jnp.asarray(ref[None, :, :seg]),
             jnp.zeros((1, n), bool),
-        )
+        ),
+    )
 
     apply = jax.jit(lambda t, r: model.apply(variables, t, r))
     mix, *_ = run_diffmst(
@@ -193,6 +191,52 @@ def _predict(system, args):
     )
     write_audio(args.output, mix[0] / max(np.abs(mix).max(), 1e-8), 44100)
     print(f"predict: wrote {args.output}")
+
+
+def _load_variables(model, ckpt_path, init_fn):
+    """Model variables from an orbax checkpoint, or random init (warned)."""
+    if ckpt_path:
+        from diffmst_tpu.utils.checkpoint import restore_state
+
+        state = restore_state(ckpt_path)
+        params = state["params"] if isinstance(state, dict) else state.params
+        bstats = (
+            state.get("batch_stats", {})
+            if isinstance(state, dict)
+            else state.batch_stats
+        )
+        return {
+            "params": params,
+            **({"batch_stats": bstats} if bstats else {}),
+        }
+    print("warning: no --ckpt_path; using random init")
+    return init_fn()
+
+
+def _export(system, args):
+    """AOT-export the inference graph for serving (utils/export.py)."""
+    import jax.numpy as jnp
+
+    from diffmst_tpu.utils.export import save_inference_export
+
+    model = system.model
+    n = min(2, args.num_tracks)
+    seg = args.analysis_len
+    variables = _load_variables(
+        model, args.ckpt_path,
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, n, seg), jnp.float32),
+            jnp.zeros((1, 2, seg), jnp.float32),
+            jnp.zeros((1, n), bool),
+        ),
+    )
+    out_dir = args.output if args.output != "pred_mix.wav" else "serving_export"
+    manifest = save_inference_export(
+        out_dir, model, variables, system.mix_console,
+        num_tracks=args.num_tracks, analysis_len=args.analysis_len,
+    )
+    print(f"export: wrote {out_dir} ({manifest['platforms']})")
 
 
 if __name__ == "__main__":

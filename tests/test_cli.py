@@ -213,6 +213,30 @@ def test_cli_predict_writes_mix(tmp_path, dataset_dir, capsys):  # noqa: F811
     assert "predict: wrote" in capsys.readouterr().out
 
 
+def test_cli_export_writes_serving_graph(tmp_path, dataset_dir, capsys):  # noqa: F811
+    """`export` AOT-serializes the inference graph (utils/export.py) from
+    the config's model/console."""
+    root, meta, mix_meta = dataset_dir
+    import main as cli
+    from diffmst_tpu.utils.export import load_inference_export
+
+    cfg_path = _write_cfg(tmp_path, root, meta, mix_meta)
+    out = tmp_path / "serving"
+    cli.main([
+        "export", "-c", cfg_path,
+        "--output", str(out), "--num_tracks", "3",
+        "--analysis_len", "16384",
+    ])
+    exported = load_inference_export(str(out))
+    assert exported.manifest["num_tracks"] == 3
+    tp, fp, mp = exported.predict_params(
+        jnp.zeros((1, 3, 16384), jnp.float32),
+        jnp.zeros((1, 2, 16384), jnp.float32),
+    )
+    assert tp.shape == (1, 3, 27) and fp.shape == (1, 25) and mp.shape == (1, 26)
+    assert "export: wrote" in capsys.readouterr().out
+
+
 def test_cli_mesh_wiring(tmp_path, dataset_dir):  # noqa: F811
     """trainer.devices > 1 in the YAML builds a dp mesh (round-1 gap: CLI
     could only ever train single-device)."""
