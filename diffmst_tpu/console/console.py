@@ -311,20 +311,30 @@ class AdvancedMixConsole:
             master = master + fx
 
         if use_master_bus:
-            master = ops.gain(
-                master, sr, master_bus_param_dict["input_fader"]["gain_db"]
-            )
+            # Input fader folds into the EQ's sampled frequency response and
+            # the output fader into the compressor's makeup gain
+            # (10^((g+m)/20) * 10^(o/20) == 10^((g+m+o)/20)) — two fewer
+            # full-signal HBM passes on the latency-bound master chain.
             master = ops.parametric_eq(
-                master, sr, method=self.eq_method,
-                **master_bus_param_dict["parametric_eq"]
+                master, sr,
+                linear_gain=ops.db_to_linear(
+                    master_bus_param_dict["input_fader"]["gain_db"]
+                ),
+                method=self.eq_method,
+                **master_bus_param_dict["parametric_eq"],
             )
+            comp_kwargs = dict(master_bus_param_dict["compressor"])
+            if use_output_fader:
+                comp_kwargs["makeup_gain_db"] = (
+                    comp_kwargs["makeup_gain_db"]
+                    + master_bus_param_dict["output_fader"]["gain_db"]
+                )
             master = ops.compressor(
-                master, sr, **master_bus_param_dict["compressor"],
+                master, sr, **comp_kwargs,
                 lookahead_samples=self.master_comp_lookahead,
                 smoother=self.comp_smoother,
             )
-
-        if use_output_fader:
+        elif use_output_fader:
             master = ops.gain(
                 master, sr, master_bus_param_dict["output_fader"]["gain_db"]
             )
