@@ -197,54 +197,36 @@ def run_once():
         result["console_smoother_fallback_from"] = last_exc
     _persist(result)  # headline lands even if the train-step bench is killed
     if os.environ.get("BENCH_SKIP_TRAIN_STEP", "") != "1":
-        # Fallback chain for the reference recipe (bs 4 x 8 x 262,144,
-        # configs/data/medley+cambridge-8.yaml): f32 first (the reference
-        # trains fp32), then bf16-compute variants — the Cnn14 block-1
-        # backward activations (f32[32,1025,257,64], 2x lane-padded) are
-        # what blow HBM at bs=4, and bf16 halves them — then bs=1 f32.
-        good = None
-        for bs, remat, dt in (
-            (4, False, None),
-            (4, True, None),
-            (4, True, "bfloat16"),
-            (1, False, None),
-        ):
+        # Two train-step configs, both recorded (measured 2026-08-16; the
+        # f32 bs=4 recipe is a KNOWN HBM OOM — Cnn14 block-1 backward
+        # activations f32[32,1025,257,64] lane-pad 2x; see PERF.md — and
+        # each doomed attempt costs a 10-20 min remote compile, so it is
+        # not retried here):
+        #   * bs=1 f32 — the reference's training dtype, always fits;
+        #   * bs=4 remat bf16 — the full reference recipe batch
+        #     (configs/data/medley+cambridge-8.yaml) at bf16 compute.
+        for bs, remat, dt in ((1, False, None), (4, True, "bfloat16")):
+            key_sfx = (
+                f"{bs}x8x262144"
+                + ("_remat" if remat else "")
+                + ("_bf16" if dt else "")
+            )
             try:
                 steps_per_sec, train_rtf = bench_train_step(
                     jax, jnp, bs=bs, remat=remat, compute_dtype=dt
                 )
-                key_sfx = (
-                    f"{bs}x8x262144"
-                    + ("_remat" if remat else "")
-                    + ("_bf16" if dt else "")
+                result[f"train_step_steps_per_sec_{key_sfx}"] = round(
+                    steps_per_sec, 3
                 )
-                result["train_step_steps_per_sec"] = round(steps_per_sec, 3)
                 result[f"train_step_realtime_factor_{key_sfx}"] = round(
                     train_rtf, 1
                 )
-                good = (bs, remat, dt)
                 _persist(result)
-                break
             except Exception as exc:  # console number still stands alone
-                result["train_step_error"] = (
-                    f"bs={bs} remat={remat} dt={dt}: {type(exc).__name__}: {exc}"
+                result[f"train_step_error_{key_sfx}"] = (
+                    f"{type(exc).__name__}: {exc}"
                 )
-        if (
-            good is not None
-            and good[2] is None
-            and os.environ.get("BENCH_SKIP_BF16", "") != "1"
-        ):
-            # bf16-compute variant at the same (bs, remat) for the speedup
-            # comparison (only when the landed config was f32).
-            try:
-                sps16, rtf16 = bench_train_step(
-                    jax, jnp, bs=good[0], remat=good[1], compute_dtype="bfloat16"
-                )
-                result["train_step_steps_per_sec_bf16"] = round(sps16, 3)
-                result["train_step_realtime_factor_bf16"] = round(rtf16, 1)
                 _persist(result)
-            except Exception as exc:
-                result["train_step_bf16_error"] = f"{type(exc).__name__}: {exc}"
     return result
 
 
