@@ -52,10 +52,28 @@ CLASS_ALIASES: Dict[str, str] = {
 
 
 def resolve(class_path: str) -> Any:
-    """Import the object named by a dotted path (after aliasing)."""
+    """Import the object named by a dotted path (after aliasing).
+
+    Walks attribute chains past the module boundary, so classmethod
+    factories work as class paths too (e.g.
+    ``diffmst_tpu.models.MixStyleTransferModel.build``).
+    """
     class_path = CLASS_ALIASES.get(class_path, class_path)
-    module_path, name = class_path.rsplit(".", 1)
-    return getattr(importlib.import_module(module_path), name)
+    parts = class_path.split(".")
+    last_err: Exception | None = None
+    for i in range(len(parts) - 1, 0, -1):
+        try:
+            obj = importlib.import_module(".".join(parts[:i]))
+        except ImportError as e:
+            last_err = e
+            continue
+        try:
+            for attr in parts[i:]:
+                obj = getattr(obj, attr)
+        except AttributeError as e:
+            raise ImportError(f"cannot resolve {class_path!r}: {e}") from e
+        return obj
+    raise ImportError(f"cannot resolve {class_path!r}: {last_err}")
 
 
 def instantiate(node: Any, **overrides: Any) -> Any:

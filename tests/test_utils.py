@@ -91,6 +91,43 @@ def test_config_instantiate_reference_yaml():
     assert fn is naive_random_mix
 
 
+def test_config_classmethod_factory_and_tpu_recipe():
+    """class_path may name a classmethod factory (Class.build), and the
+    shipped TPU recipe config (configs/models/naive+tpu.yaml) instantiates
+    a bf16-compute, rematerialized flagship model."""
+    node = yaml.safe_load(
+        """
+        class_path: diffmst_tpu.models.MixStyleTransferModel.build
+        init_args: {embed_dim: 32, num_layers: 1, nhead: 4, cnn_base_width: 4,
+                    compute_dtype: bfloat16, remat_encoders: true}
+        """
+    )
+    model = instantiate(node)
+    from diffmst_tpu.models import MixStyleTransferModel
+
+    assert isinstance(model, MixStyleTransferModel)
+    assert model.controller.dtype == jnp.bfloat16
+
+    cfg = yaml.safe_load(
+        open(os.path.join(os.path.dirname(__file__), "..",
+                          "configs", "models", "naive+tpu.yaml"))
+    )
+    system_node = cfg["model"]
+    model_node = system_node["init_args"]["model"]
+    assert model_node["class_path"].endswith("MixStyleTransferModel.build")
+    # small-ify the flagship geometry so instantiation is cheap
+    model_node["init_args"].update(
+        embed_dim=32, num_layers=1, nhead=4, cnn_base_width=4
+    )
+    m2 = instantiate(model_node)
+    assert isinstance(m2, MixStyleTransferModel)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError):
+        instantiate({"class_path": "diffmst_tpu.models.NoSuchThing.build"})
+
+
 def test_config_overlay(tmp_path):
     a = tmp_path / "a.yaml"
     b = tmp_path / "b.yaml"
