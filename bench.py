@@ -158,6 +158,49 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False):
     return 1.0 / per_step, (bs * seq_len / sr) / per_step
 
 
+def bench_inference(jax, jnp, song_seconds=60.0):
+    """Full-song inference realtime factor (BASELINE.md's second metric).
+
+    End-to-end run_diffmst wall time — host LUFS gate/normalize, one
+    flagship-model analysis call, Hann-OLA windowed console render
+    (hop 131,072, reference mst/utils.py:32-173) — on a synthetic
+    ``song_seconds`` 8-track song. Includes host<->device transfers and the
+    tunnel round trips; that is what a user experiences.
+    """
+    import numpy as np
+
+    from diffmst_tpu.console import AdvancedMixConsole
+    from diffmst_tpu.models import MixStyleTransferModel
+    from diffmst_tpu.utils.inference import run_diffmst
+
+    sr = 44100.0
+    total = int(song_seconds * sr)
+    num_tracks = 8
+    rng = np.random.default_rng(0)
+    tracks = (rng.normal(size=(1, num_tracks, total)) * 0.05).astype("float32")
+    ref = (rng.normal(size=(1, 2, 262144)) * 0.1).astype("float32")
+
+    model = MixStyleTransferModel.build()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(tracks[:, :2, :262144]),
+        jnp.asarray(ref),
+        jnp.zeros((1, 2), bool),
+    )
+    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    console = AdvancedMixConsole(sr)
+
+    run = lambda: run_diffmst(tracks, ref, apply, console)  # noqa: E731
+    run()  # compile + warm every window-batch shape
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mix, *_ = run()
+        best = min(best, time.perf_counter() - t0)
+    assert mix.shape[-1] == total
+    return song_seconds / best
+
+
 def _persist(result):
     result = dict(result)
     result["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
@@ -168,6 +211,20 @@ def _persist(result):
 def run_once():
     import jax
     import jax.numpy as jnp
+
+    # Start from the previously persisted result (minus stale errors) so a
+    # partial re-run (e.g. BENCH_SKIP_TRAIN_STEP=1 to refresh one metric)
+    # merges instead of clobbering metrics captured earlier in the session.
+    prior = {}
+    if os.path.exists(RESULT_PATH):
+        try:
+            with open(RESULT_PATH) as f:
+                prior = {
+                    k: v for k, v in json.load(f).items()
+                    if "error" not in k and k != "stale"
+                }
+        except Exception:
+            prior = {}
 
     backend = jax.default_backend()
     # 'auto' = the shipped default (Pallas kernel on TPU); if the kernel
@@ -186,6 +243,7 @@ def run_once():
     if console_rtf is None:
         raise RuntimeError(f"console bench failed on all smoothers: {last_exc}")
     result = {
+        **prior,
         "metric": "advanced_console_fwd_bwd_realtime_factor_8track",
         "value": round(console_rtf, 1),
         "unit": "x_realtime",
@@ -227,6 +285,16 @@ def run_once():
                     f"{type(exc).__name__}: {exc}"
                 )
                 _persist(result)
+    if os.environ.get("BENCH_SKIP_INFERENCE", "") != "1":
+        # BASELINE.md's second north-star metric: full-song inference
+        # realtime factor (end-to-end run_diffmst, 60 s 8-track song).
+        try:
+            rtf = bench_inference(jax, jnp)
+            result["inference_realtime_factor_8track_60s"] = round(rtf, 1)
+            _persist(result)
+        except Exception as exc:
+            result["inference_error"] = f"{type(exc).__name__}: {exc}"
+            _persist(result)
     return result
 
 
