@@ -1,0 +1,121 @@
+"""On-chip training demo at the shipped TPU recipe (configs/models/naive+tpu).
+
+Runs the REAL Trainer loop — background prefetch, honest sync-based
+metering, checkpointing, CSV logging — at the full reference recipe shape
+(batch 4 x 8 tracks x 262,144 samples, configs/data/medley+cambridge-8.yaml)
+with the bf16 + rematerialized-encoder flagship on synthetic stems, and
+records sustained steps/sec plus the loss trajectory. This is the
+end-to-end proof that the 83x-realtime bench number survives the actual
+training loop (data transfer, logging, optimizer state) rather than only
+an isolated jitted step.
+
+Writes logs/train_demo_tpu.json. Run from /root/repo on the TPU session:
+    python scripts/train_demo_tpu.py [steps_per_epoch] [epochs]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from diffmst_tpu.console import AdvancedMixConsole
+from diffmst_tpu.losses import MultiResolutionSTFTLoss
+from diffmst_tpu.models import MixStyleTransferModel
+from diffmst_tpu.train import System, SystemConfig, Trainer
+
+SR = 44100.0
+BS, NT, T = 4, 8, 262144
+
+
+class SyntheticDM:
+    """In-memory datamodule: fixed pool of random stem batches (overfit
+    target — the loss must DROP, proving gradients flow end to end)."""
+
+    batch_size = BS
+
+    def __init__(self, n_train, n_val=2, seed=0):
+        rng = np.random.default_rng(seed)
+        self.pool = [self._make(rng) for _ in range(4)]
+        self.n_train = n_train
+        self.n_val = n_val
+
+    def _make(self, rng):
+        return (
+            (rng.normal(size=(BS, NT, T)) * 10 ** (-48 / 20)).astype(np.float32),
+            np.zeros((BS, NT), np.int32),
+            np.zeros((BS, NT), np.int32),
+            np.zeros((BS, NT), bool),
+            (rng.normal(size=(BS, 2, T)) * 0.1).astype(np.float32),
+            ["synthetic"] * BS,
+        )
+
+    def _iter(self, n):
+        for i in range(n):
+            yield self.pool[i % len(self.pool)]
+
+    def train_dataloader(self):
+        return self._iter(self.n_train)
+
+    def val_dataloader(self):
+        return self._iter(self.n_val)
+
+
+def main():
+    steps_per_epoch = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    system = System(
+        MixStyleTransferModel.build(
+            compute_dtype="bfloat16", remat_encoders=True
+        ),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(),
+        SystemConfig(
+            steps_per_epoch=steps_per_epoch, max_epochs=epochs, lr=1e-4,
+            active_fx_bus_epoch=1000,
+        ),
+    )
+    trainer = Trainer(
+        system,
+        SyntheticDM(steps_per_epoch * BS),
+        max_epochs=epochs,
+        ckpt_dir="logs/train_demo_ckpt",
+        log_every_n_steps=10,
+        check_val_every_n_epoch=epochs,  # one val pass at the end (each
+        # distinct eval graph costs a multi-minute remote compile)
+    )
+    t0 = time.time()
+    state = trainer.fit()
+    wall = time.time() - t0
+
+    losses = [h["loss"] for h in trainer.history if "loss" in h]
+    sps = [h["steps_per_sec"] for h in trainer.history if "steps_per_sec" in h]
+    summary = {
+        "backend": jax.default_backend(),
+        "shape": f"{BS}x{NT}x{T}",
+        "recipe": "bf16 compute + remat encoders (configs/models/naive+tpu.yaml)",
+        "steps": int(state.step),
+        "wall_s": round(wall, 1),
+        "first_losses": [round(float(x), 4) for x in losses[:3]],
+        "last_losses": [round(float(x), 4) for x in losses[-3:]],
+        "loss_dropped": bool(losses and losses[-1] < losses[0]),
+        "sustained_steps_per_sec": round(float(np.median(sps)), 3) if sps else None,
+        "realtime_factor": (
+            round(float(np.median(sps)) * BS * T / SR, 1) if sps else None
+        ),
+        "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    os.makedirs("logs", exist_ok=True)
+    with open("logs/train_demo_tpu.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
