@@ -34,13 +34,30 @@ BS, NT, T = 4, 8, 262144
 
 class SyntheticDM:
     """In-memory datamodule: fixed pool of random stem batches (overfit
-    target — the loss must DROP, proving gradients flow end to end)."""
+    target — the loss must DROP, proving gradients flow end to end).
+
+    ``device_pool=True`` pre-places the pool on the device so the trainer's
+    per-batch device_put is an identity: through the axon tunnel a fresh
+    42 MB host batch costs ~1 s/step of pure transfer (a dev-harness
+    artifact — on a real TPU VM, PCIe moves it in ~4 ms and the prefetch
+    thread hides it), which would otherwise swamp the step time.
+    """
 
     batch_size = BS
 
-    def __init__(self, n_train, n_val=2, seed=0):
+    def __init__(self, n_train, n_val=2, seed=0, device_pool=False):
         rng = np.random.default_rng(seed)
         self.pool = [self._make(rng) for _ in range(4)]
+        if device_pool:
+            import jax as _jax
+
+            self.pool = [
+                tuple(
+                    _jax.device_put(x) if isinstance(x, np.ndarray) else x
+                    for x in b
+                )
+                for b in self.pool
+            ]
         self.n_train = n_train
         self.n_val = n_val
 
@@ -81,9 +98,10 @@ def main():
             active_fx_bus_epoch=1000,
         ),
     )
+    device_pool = os.environ.get("DEMO_HOST_IO", "") != "1"
     trainer = Trainer(
         system,
-        SyntheticDM(steps_per_epoch * BS),
+        SyntheticDM(steps_per_epoch, device_pool=device_pool),
         max_epochs=epochs,
         ckpt_dir="logs/train_demo_ckpt",
         log_every_n_steps=10,
@@ -100,6 +118,7 @@ def main():
         "backend": jax.default_backend(),
         "shape": f"{BS}x{NT}x{T}",
         "recipe": "bf16 compute + remat encoders (configs/models/naive+tpu.yaml)",
+        "batch_residency": "device" if device_pool else "host (tunnel IO included)",
         "steps": int(state.step),
         "wall_s": round(wall, 1),
         "first_losses": [round(float(x), 4) for x in losses[:3]],
