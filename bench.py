@@ -171,7 +171,14 @@ def bench_inference(jax, jnp, song_seconds=60.0):
 
     from diffmst_tpu.console import AdvancedMixConsole
     from diffmst_tpu.models import MixStyleTransferModel
+    from diffmst_tpu.utils import inference as _inf
     from diffmst_tpu.utils.inference import run_diffmst
+
+    # Tunnel-safe render batch: the default 8-window batch (64 signals
+    # through the console) compiles to a program the dev tunnel's remote
+    # compiler repeatedly aborts on (transport broken pipe ~35 min in);
+    # 2 windows matches the proven headline-bench graph size.
+    _inf._RENDER_BS = int(os.environ.get("DIFFMST_RENDER_BS", "2"))
 
     sr = 44100.0
     total = int(song_seconds * sr)

@@ -16,6 +16,7 @@ the console is shape-static, so all windows share one compiled program.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -69,7 +70,11 @@ def overlap_add_render(
     return out[..., :total]
 
 
-_RENDER_BS = 8
+# Windows per batched render call. 8 amortizes dispatch best; smaller
+# values shrink the compiled graph (batch x tracks signals through the
+# console) — useful on low-HBM serving hosts and through the dev tunnel,
+# whose remote compiles abort on very large programs.
+_RENDER_BS = int(os.environ.get("DIFFMST_RENDER_BS", "8"))
 
 
 def _render_batched(render_window: Callable, wins: np.ndarray) -> np.ndarray:
