@@ -194,7 +194,12 @@ def bench_inference(jax, jnp, song_seconds=60.0):
         jnp.asarray(ref),
         jnp.zeros((1, 2), bool),
     )
-    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    # weights as jit ARGUMENTS, not closure constants: captured variables
+    # are inlined into the compiled program (763 MB for the flagship),
+    # bloating the executable (and through the dev tunnel, aborting the
+    # remote compile upload)
+    _apply = jax.jit(model.apply)
+    apply = lambda t, r: _apply(variables, t, r)  # noqa: E731
     console = AdvancedMixConsole(sr)
 
     run = lambda: run_diffmst(tracks, ref, apply, console)  # noqa: E731

@@ -184,7 +184,12 @@ def _predict(system, args):
         ),
     )
 
-    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    # weights as jit ARGUMENTS, not closure constants: captured variables
+    # are inlined into the compiled program (763 MB for the flagship),
+    # bloating the executable (and through the dev tunnel, aborting the
+    # remote compile upload)
+    _apply = jax.jit(model.apply)
+    apply = lambda t, r: _apply(variables, t, r)  # noqa: E731
     mix, *_ = run_diffmst(
         tracks, ref[None], apply, system.mix_console,
         render_mode=args.render_mode,

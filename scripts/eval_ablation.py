@@ -64,7 +64,12 @@ def main():
         state.get("batch_stats", {}) if isinstance(state, dict) else state.batch_stats
     )
     variables = {"params": params, **({"batch_stats": bstats} if bstats else {})}
-    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    # weights as jit ARGUMENTS, not closure constants: captured variables
+    # are inlined into the compiled program (763 MB for the flagship),
+    # bloating the executable (and through the dev tunnel, aborting the
+    # remote compile upload)
+    _apply = jax.jit(model.apply)
+    apply = lambda t, r: _apply(variables, t, r)  # noqa: E731
     console = AdvancedMixConsole(float(SR))
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -121,7 +121,8 @@ def main():
     # One jit cache entry for every (song, section, section) combination —
     # inside the product loop a fresh lambda per iteration would recompile
     # (30-200 s on TPU) each time.
-    apply = jax.jit(lambda t, r: model.apply(variables, t, r)) if variables else None
+    _apply = jax.jit(model.apply)  # weights as args, not closure constants
+    apply = (lambda t, r: _apply(variables, t, r)) if variables else None
 
     os.makedirs(args.output_dir, exist_ok=True)
     rows = []

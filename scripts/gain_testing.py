@@ -67,7 +67,12 @@ def main():
             jax.random.PRNGKey(0), jnp.asarray(tracks[:, :2]),
             jnp.asarray(tracks[:, :2]), jnp.zeros((1, 2), bool),
         )
-    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    # weights as jit ARGUMENTS, not closure constants: captured variables
+    # are inlined into the compiled program (763 MB for the flagship),
+    # bloating the executable (and through the dev tunnel, aborting the
+    # remote compile upload)
+    _apply = jax.jit(model.apply)
+    apply = lambda t, r: _apply(variables, t, r)  # noqa: E731
     console = AdvancedMixConsole(44100.0)
 
     for i, ref_name in enumerate(names):

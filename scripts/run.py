@@ -70,7 +70,12 @@ def main():
             jnp.zeros((1, 2), bool),
         )
 
-    apply = jax.jit(lambda t, r: model.apply(variables, t, r))
+    # weights as jit ARGUMENTS, not closure constants: captured variables
+    # are inlined into the compiled program (763 MB for the flagship),
+    # bloating the executable (and through the dev tunnel, aborting the
+    # remote compile upload)
+    _apply = jax.jit(model.apply)
+    apply = lambda t, r: _apply(variables, t, r)  # noqa: E731
     console = AdvancedMixConsole(44100.0, comp_smoother=args.comp_smoother)
     mix, *_ = run_diffmst(tracks, ref[None], apply, console, render_mode=args.render_mode)
     write_audio(args.output, mix[0] / max(np.abs(mix).max(), 1e-8), 44100)
