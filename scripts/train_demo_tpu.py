@@ -47,7 +47,9 @@ class SyntheticDM:
 
     def __init__(self, n_train, n_val=2, seed=0, device_pool=False):
         rng = np.random.default_rng(seed)
-        self.pool = [self._make(rng) for _ in range(4)]
+        # ONE batch: every logged loss is comparable, so the
+        # trajectory is a clean overfitting-descent check
+        self.pool = [self._make(rng)]
         if device_pool:
             import jax as _jax
 
