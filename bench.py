@@ -188,7 +188,7 @@ def bench_inference(jax, jnp, song_seconds=60.0):
     ref = (rng.normal(size=(1, 2, 262144)) * 0.1).astype("float32")
 
     model = MixStyleTransferModel.build()
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.asarray(tracks[:, :2, :262144]),
         jnp.asarray(ref),

@@ -183,7 +183,10 @@ class System:
             tracks = example_batch.tracks[:1, :n]
             ref = example_batch.ref_mix[:1]
         mask = example_batch.track_padding[:1, :n]
-        variables = self.model.init(key, tracks, ref, mask)
+        # jit the init: eager flax init dispatches thousands of single
+        # ops (one device round trip each — minutes through a remote
+        # tunnel); jitted it is one compile + one execution
+        variables = jax.jit(self.model.init)(key, tracks, ref, mask)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.optimizer.init(params)

@@ -176,7 +176,7 @@ def _predict(system, args):
     seg = min(262144, total)
     variables = _load_variables(
         model, args.ckpt_path,
-        lambda: model.init(
+        lambda: jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.asarray(tracks[:, :n, :seg]),
             jnp.asarray(ref[None, :, :seg]),
@@ -229,7 +229,7 @@ def _export(system, args):
     seg = args.analysis_len
     variables = _load_variables(
         model, args.ckpt_path,
-        lambda: model.init(
+        lambda: jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1, n, seg), jnp.float32),
             jnp.zeros((1, 2, seg), jnp.float32),

@@ -63,7 +63,7 @@ def main():
         variables = {"params": params, **({"batch_stats": bstats} if bstats else {})}
     else:
         print("warning: random init")
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.asarray(tracks[:, :2]),
             jnp.asarray(tracks[:, :2]), jnp.zeros((1, 2), bool),
         )

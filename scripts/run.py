@@ -63,7 +63,7 @@ def main():
         import jax.numpy as jnp
 
         print("warning: no --ckpt; using random init")
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.asarray(tracks[:, :2, :262144]),
             jnp.asarray(ref[None, :, :262144]),
