@@ -76,6 +76,40 @@ def overlap_add_render(
 # whose remote compiles abort on very large programs.
 _RENDER_BS = int(os.environ.get("DIFFMST_RENDER_BS", "8"))
 
+_RENDER_CACHE: dict = {}
+
+
+def _cached_render(mix_console, use_fx_bus: bool):
+    """One jitted console render per (console, use_fx_bus), params as args.
+
+    Consoles are frozen dataclasses; an unhashable one (e.g. carrying a
+    mesh) falls back to id()-keying, which still deduplicates repeated
+    calls with the same instance.
+    """
+    try:
+        cache_key = (mix_console, use_fx_bus)
+        hash(cache_key)
+    except TypeError:
+        cache_key = (id(mix_console), use_fx_bus)
+    fn = _RENDER_CACHE.get(cache_key)
+    if fn is None:
+
+        @jax.jit
+        def fn(wins, tp, fp, mp, key):
+            n = wins.shape[0]
+            out = mix_console(
+                wins,
+                jnp.tile(tp, (n, 1, 1)),
+                jnp.tile(fp, (n, 1)),
+                jnp.tile(mp, (n, 1)),
+                use_fx_bus=use_fx_bus,
+                key=key,
+            )
+            return out.mix
+
+        _RENDER_CACHE[cache_key] = fn
+    return fn
+
 
 def _render_batched(render_window: Callable, wins: np.ndarray) -> np.ndarray:
     """Render windows in fixed-size groups of ``_RENDER_BS``.
@@ -208,18 +242,15 @@ def run_diffmst(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    @jax.jit
+    # The jitted render is cached per (console, use_fx_bus) with the
+    # predicted params as ARGUMENTS: a fresh @jax.jit closure per
+    # run_diffmst call would recompile the whole console render for every
+    # song (a multi-minute TPU compile each) even though only the small
+    # parameter vectors change.
+    render_fn = _cached_render(mix_console, use_fx_bus)
+
     def render_window(wins: jnp.ndarray) -> jnp.ndarray:
-        n = wins.shape[0]
-        out = mix_console(
-            wins,
-            jnp.tile(tp, (n, 1, 1)),
-            jnp.tile(fp, (n, 1)),
-            jnp.tile(mp, (n, 1)),
-            use_fx_bus=use_fx_bus,
-            key=key,
-        )
-        return out.mix
+        return render_fn(wins, tp, fp, mp, key)
 
     if render_mode == "streaming":
         pred_mix = overlap_save_render(
