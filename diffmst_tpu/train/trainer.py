@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffmst_tpu.train.system import Batch, System, TrainState
-from diffmst_tpu.utils.checkpoint import restore_state, save_state
+from diffmst_tpu.utils.checkpoint import load_meta, restore_state, save_state
 
 __all__ = ["Trainer"]
 
@@ -95,6 +95,7 @@ class Trainer:
         seed: int = 42,
         profile_steps: Optional[range] = None,
         profile_dir: str = "profiles",
+        ckpt_every_n_steps: Optional[int] = None,
     ) -> None:
         self.system = system
         self.datamodule = datamodule
@@ -107,6 +108,9 @@ class Trainer:
         self.seed = seed
         self.profile_steps = profile_steps
         self.profile_dir = profile_dir
+        # Mid-epoch "last" saves every N steps: a reference-scale epoch is
+        # ~5,000 steps (>20 min on one chip) — a crash must not lose it.
+        self.ckpt_every_n_steps = ckpt_every_n_steps
         self.history: List[Dict[str, float]] = []
 
         if mesh is not None:
@@ -127,14 +131,11 @@ class Trainer:
 
         first = next(iter(dm.train_dataloader()))
         example = _to_batch(first, lambda x: x)
+        state = self.system.init(key, example)
         if resume:
-            state = self.system.init(key, example)
             state = restore_state(resume, state)
-            start_epoch = int(state.step) // max(
-                1, self.system.config.steps_per_epoch
-            )
+            start_epoch = self._resume_epoch(resume, state)
         else:
-            state = self.system.init(key, example)
             start_epoch = 0
         state = self._put_state(state)
 
@@ -179,6 +180,14 @@ class Trainer:
                     )
                     self.history.append(host)
                     self._log("train", host)
+                if (
+                    self.ckpt_every_n_steps
+                    and (i + 1) % self.ckpt_every_n_steps == 0
+                ):
+                    # mid-epoch save: resume restarts THIS epoch (the
+                    # dataloader has no mid-stream state), optimizer and
+                    # step counter carry over exactly
+                    self._save_last(state, next_epoch=epoch)
                 pending = metrics
 
             if pending is not None:
@@ -192,11 +201,13 @@ class Trainer:
                 val_metrics = self._run_validation(state, flags, k_val, epoch)
 
             # ----------------------------------------------------- ckpt
-            os.makedirs(self.ckpt_dir, exist_ok=True)
-            save_state(os.path.join(self.ckpt_dir, "last"), state)
+            self._save_last(state, next_epoch=epoch + 1)
             if val_metrics.get("loss", float("inf")) < best_val:
                 best_val = val_metrics["loss"]
-                save_state(os.path.join(self.ckpt_dir, "best"), state)
+                save_state(
+                    os.path.join(self.ckpt_dir, "best"), state,
+                    meta=self._meta(next_epoch=epoch + 1, state=state),
+                )
 
             self._log(
                 "epoch",
@@ -208,6 +219,30 @@ class Trainer:
                 },
             )
         return state
+
+    def _meta(self, next_epoch: int, state: TrainState) -> Dict:
+        return {
+            "next_epoch": int(next_epoch),
+            "step": int(jax.device_get(state.step)),
+            "steps_per_epoch": int(self.system.config.steps_per_epoch),
+        }
+
+    def _save_last(self, state: TrainState, next_epoch: int) -> None:
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        save_state(
+            os.path.join(self.ckpt_dir, "last"), state,
+            meta=self._meta(next_epoch=next_epoch, state=state),
+        )
+
+    def _resume_epoch(self, resume: str, state: TrainState) -> int:
+        """Epoch to resume at: the checkpoint's recorded progress, never a
+        derivation from ``state.step`` (correct only when steps_per_epoch
+        matches the original run). Derivation remains the fallback for
+        checkpoints written before the meta sidecar existed."""
+        meta = load_meta(resume)
+        if "next_epoch" in meta:
+            return int(meta["next_epoch"])
+        return int(state.step) // max(1, self.system.config.steps_per_epoch)
 
     def _run_validation(
         self, state: TrainState, flags, key, epoch: int,
@@ -248,7 +283,7 @@ class Trainer:
         epoch = 0
         if resume:
             state = restore_state(resume, state)
-            epoch = int(state.step) // max(1, self.system.config.steps_per_epoch)
+            epoch = self._resume_epoch(resume, state)
         state = self._put_state(state)
         flags = self.system.effect_flags(epoch)
         key, k_val = jax.random.split(key)

@@ -62,11 +62,18 @@ def resolve(class_path: str) -> Any:
     parts = class_path.split(".")
     last_err: Exception | None = None
     for i in range(len(parts) - 1, 0, -1):
+        mod_name = ".".join(parts[:i])
         try:
-            obj = importlib.import_module(".".join(parts[:i]))
-        except ImportError as e:
-            last_err = e
-            continue
+            obj = importlib.import_module(mod_name)
+        except ModuleNotFoundError as e:
+            # only "this prefix isn't a module" continues the walk; a
+            # missing dependency INSIDE an existing module is a real error
+            # that must surface, not be retried at shorter prefixes
+            if e.name and (mod_name == e.name or mod_name.startswith(e.name + ".")):
+                last_err = e
+                continue
+            raise  # missing dependency raised from inside the module
+        # any other ImportError (circular import, bad native lib) propagates
         try:
             for attr in parts[i:]:
                 obj = getattr(obj, attr)

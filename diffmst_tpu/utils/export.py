@@ -172,8 +172,18 @@ def run_exported(
 
     Mirrors utils/inference.py::run_diffmst: per-track LUFS gate (< -80
     skipped) + normalize to -48, one predict call on the analysis windows,
-    windowed full-length render. Gated/missing tracks are replaced with
-    silence so the export's static ``num_tracks`` is always honored.
+    windowed full-length render. The exported graph has a STATIC
+    ``num_tracks``: kept tracks are compacted to the FRONT (matching
+    run_diffmst's track ordering after gating) and the remaining rows are
+    silence.
+
+    KNOWN DIVERGENCE vs run_diffmst: run_diffmst re-runs the model with the
+    gated tracks *removed* (a shorter token sequence); the exported
+    controller always sees ``num_tracks`` tokens, the trailing silent ones
+    unmasked. When any track is gated, predicted parameters for the
+    surviving tracks can therefore differ between the two paths. Exports
+    specialized to the exact track count (one per session size) avoid this
+    entirely.
 
     Args:
       tracks: (1, n, total_len) raw mono stems, n <= manifest num_tracks.
@@ -208,8 +218,9 @@ def run_exported(
         if not np.isfinite(lufs) or lufs < -80.0:
             continue
         g = np.float32(10.0 ** ((-48.0 - lufs) / 20.0))
-        norm[0, i] = tracks[0, i] * g
-        norm_analysis[0, i] = analysis_tracks[0, i] * g
+        # compact kept tracks to the front (run_diffmst's post-gate order)
+        norm[0, kept] = tracks[0, i] * g
+        norm_analysis[0, kept] = analysis_tracks[0, i] * g
         kept += 1
     if kept == 0:
         raise ValueError("all tracks gated out (< -80 LUFS)")
@@ -221,6 +232,10 @@ def run_exported(
     def render(wins):
         return exported.render_window(wins, tp, fp, mp)
 
+    # The exported render graph has a STATIC window-batch shape: group
+    # windows by the manifest's render_bs, not the process-wide default
+    # (serving with a mismatched DIFFMST_RENDER_BS would shape-error).
+    render_bs = m.get("render_bs", 8)
     if render_mode == "streaming":
         # context + block must equal the export's static window length, so
         # streaming uses a half-window context (more warm-up than the
@@ -228,5 +243,6 @@ def run_exported(
         return overlap_save_render(
             render, norm, block_len=analysis_len // 2,
             context_len=analysis_len - analysis_len // 2,
+            render_bs=render_bs,
         )
-    return overlap_add_render(render, norm, analysis_len)
+    return overlap_add_render(render, norm, analysis_len, render_bs=render_bs)

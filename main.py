@@ -86,6 +86,7 @@ def build_from_config(cfg: dict):
         callbacks=callbacks,
         mesh=mesh,
         seed=cfg.get("seed_everything", 42),
+        ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 500),
     )
     return system, datamodule, trainer
 
@@ -119,6 +120,10 @@ def main(argv=None):
     parser.add_argument(
         "--analysis_len", type=int, default=262144,
         help="export: analysis/render window length in samples",
+    )
+    parser.add_argument(
+        "--render_bs", type=int, default=8,
+        help="export: static window-batch size of the serving render graph",
     )
     args = parser.parse_args(argv)
 
@@ -240,6 +245,7 @@ def _export(system, args):
     manifest = save_inference_export(
         out_dir, model, variables, system.mix_console,
         num_tracks=args.num_tracks, analysis_len=args.analysis_len,
+        render_bs=args.render_bs,
     )
     print(f"export: wrote {out_dir} ({manifest['platforms']})")
 

@@ -104,3 +104,43 @@ def test_export_gates_silent_tracks(tmp_path):
     assert mix.shape == (1, 2, total)
     assert np.isfinite(mix).all()
     assert np.abs(mix).max() > 0.0
+
+
+def test_export_gated_track_position_invariance(tmp_path):
+    """Kept tracks are compacted to the FRONT of the static track slots
+    (run_diffmst's post-gate ordering): a silent track contributes nothing
+    and its position doesn't change the output (advisor round-1 finding —
+    pre-fix, the silent row stayed in place and shifted which tokens the
+    maskless exported controller saw)."""
+    num_tracks, analysis_len = 3, 16384
+    total = analysis_len * 2
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=total).astype(np.float32) * 0.1
+    b = rng.normal(size=total).astype(np.float32) * 0.05
+    ref = (rng.normal(size=(1, 2, analysis_len)) * 0.1).astype(np.float32)
+
+    def stack(order):
+        x = np.zeros((1, num_tracks, total), np.float32)
+        for slot, sig in order.items():
+            x[0, slot] = sig
+        return x
+
+    model = _tiny_model()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(stack({0: a, 1: b})[:, :, :analysis_len]),
+        jnp.asarray(ref),
+        jnp.zeros((1, num_tracks), bool),
+    )
+    console = AdvancedMixConsole(SR)
+    out_dir = tmp_path / "export"
+    save_inference_export(
+        str(out_dir), model, variables, console,
+        num_tracks=num_tracks, analysis_len=analysis_len,
+    )
+    exported = load_inference_export(str(out_dir))
+
+    # silent track in the middle vs at the end: identical compacted input
+    mix_mid = run_exported(exported, stack({0: a, 2: b}), ref)
+    mix_end = run_exported(exported, stack({0: a, 1: b}), ref)
+    np.testing.assert_allclose(mix_mid, mix_end, atol=1e-6)

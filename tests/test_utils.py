@@ -243,6 +243,51 @@ def test_cnn14_torch_port_numerical():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)
 
 
+def test_full_model_port_numerical():
+    """Port a COMPLETE torch MixStyleTransferModel state_dict (architecture
+    twin of /root/reference/mst/modules.py:17-68 + panns.py Cnn14 + the
+    transformer controller, built in tests/torch_model_ref.py with the
+    reference's parameter naming) and assert end-to-end output parity of the
+    whole model — STFT front end, 6-block Cnn14 encoders with eval-mode BN,
+    controller, sigmoid heads (mst/utils.py:224-249's loader contract)."""
+    torch = pytest.importorskip("torch")
+    import torch_model_ref as tmr
+
+    from diffmst_tpu.models import MixStyleTransferModel
+    from diffmst_tpu.utils.checkpoint import port_torch_state_dict
+
+    d, width = 32, 8
+    torch.manual_seed(0)
+    tmodel = tmr.MixStyleTransferModel(
+        embed_dim=d, base_width=width, num_layers=2, nhead=4
+    )
+    tmr.randomize_batchnorm_stats(tmodel)
+    tmodel.eval()
+
+    sd = {f"model.{k}": v.numpy() for k, v in tmodel.state_dict().items()}
+    ported = port_torch_state_dict(sd, embed_dim=d)
+
+    model = MixStyleTransferModel.build(
+        embed_dim=d, num_layers=2, nhead=4, cnn_base_width=width
+    )
+
+    rng = np.random.default_rng(0)
+    seq = 512 * 128  # >= 128 frames for the Cnn14 pool schedule
+    tracks = (rng.normal(size=(1, 2, seq)) * 0.1).astype(np.float32)
+    ref = (rng.normal(size=(1, 2, seq)) * 0.1).astype(np.float32)
+
+    tp, fp, mp = jax.jit(model.apply)(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        jnp.asarray(tracks), jnp.asarray(ref),
+    )
+    with torch.no_grad():
+        ttp, tfp, tmp_ = tmodel(torch.from_numpy(tracks), torch.from_numpy(ref))
+
+    np.testing.assert_allclose(np.asarray(tp), ttp.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fp), tfp.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mp), tmp_.numpy(), atol=2e-4)
+
+
 def test_plotting_helpers(tmp_path):
     """plot_spectrograms / plot_confusion_matrix produce images and save to
     disk (reference callbacks/plotting.py:15-131)."""
@@ -309,6 +354,53 @@ def test_streaming_render_matches_one_shot():
     err_ola = np.abs(ola - one)[..., 16384:].max() / peak
     assert err_ols < 1e-3, err_ols
     assert err_ols < 0.1 * err_ola  # streaming strictly better than OLA
+
+
+def test_device_ola_matches_host_ola():
+    """run_diffmst's one-dispatch device OLA pipeline must reproduce the
+    host-assembled Hann-OLA render exactly (same console, same params) —
+    including the window-count padding bucket (total not a multiple of
+    hop*group_bs)."""
+    from diffmst_tpu.console import AdvancedMixConsole
+    from diffmst_tpu.utils.inference import overlap_add_render
+
+    console = AdvancedMixConsole(SR, comp_smoother="scan")
+    rng = np.random.default_rng(3)
+    total = 16384 * 2 + 5000  # ragged tail
+    tracks = (rng.normal(size=(1, 3, total)) * 0.05).astype(np.float32)
+    ref = (rng.normal(size=(1, 2, 16384)) * 0.1).astype(np.float32)
+
+    tp0 = jnp.asarray(rng.uniform(size=(1, 3, 27)).astype(np.float32))
+    fp0 = jnp.asarray(rng.uniform(size=(1, 25)).astype(np.float32))
+    mp0 = jnp.asarray(rng.uniform(size=(1, 26)).astype(np.float32))
+
+    def fake_model(t, r):
+        return tp0, fp0, mp0
+
+    mix_dev, *_ = run_diffmst(
+        tracks, ref, fake_model, console, analysis_len=16384
+    )
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def render(wins):
+        n = wins.shape[0]
+        return console(
+            wins, jnp.tile(tp0, (n, 1, 1)), jnp.tile(fp0, (n, 1)),
+            jnp.tile(mp0, (n, 1)), use_fx_bus=False, key=key,
+        ).mix
+
+    # host path on the already-normalized tracks run_diffmst derived
+    from diffmst_tpu.ops.loudness import integrated_loudness
+
+    norm = np.stack([
+        tracks[0, i]
+        * 10 ** ((-48.0 - integrated_loudness(tracks[0, i, :16384], SR)) / 20.0)
+        for i in range(3)
+    ])[None]
+    mix_host = overlap_add_render(render, norm, 16384)
+    np.testing.assert_allclose(mix_dev, mix_host, atol=2e-5)
 
 
 def test_run_diffmst_streaming_mode():
