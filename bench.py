@@ -29,6 +29,11 @@ import subprocess
 import sys
 import time
 
+# Persistent XLA compile cache: the flagship train step takes 10-20 min to
+# compile through the axon tunnel; the cache (verified working with the axon
+# backend) amortizes that across processes/rounds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 RESULT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
 PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "75"))
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))

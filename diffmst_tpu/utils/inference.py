@@ -400,6 +400,7 @@ def run_diffmst(
     use_fx_bus: bool = False,
     key: Optional[jax.Array] = None,
     render_mode: str = "ola",
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, dict, dict, dict]:
     """Full-song mix style transfer.
 
@@ -414,6 +415,10 @@ def run_diffmst(
         "streaming" — seam-free overlap-save block rendering (see
         overlap_save_render), recommended with the causal ("auto"/"scan")
         compressor smoother.
+      return_device: keep the rendered mix on device (a jnp array) instead
+        of transferring it to host — for pipelines that consume the mix on
+        device (loss/feature evaluation); the device->host copy of a full
+        song is the largest steady-state cost through a remote tunnel.
 
     Returns:
       (pred_mix (1, 2, total_len), track_param_dict, fx_param_dict,
@@ -508,7 +513,10 @@ def run_diffmst(
     tp_full[0, keep] = tp_host[0]
 
     mix = fn(tracks_dev, jnp.asarray(gains), jnp.asarray(tp_full), fp, mp, key)
-    pred_mix = np.asarray(mix)[None, :, :total]
+    if return_device:
+        pred_mix = mix[None, :, :total]
+    else:
+        pred_mix = np.asarray(mix)[None, :, :total]
 
     td, fd, md = mix_console.param_dicts(tp, fp, mp)
     return pred_mix, td, fd, md

@@ -10,14 +10,18 @@ improvements. Writes:
 
 Run from /root/repo on the TPU session:
     python scripts/profile_train_xplane.py [variant ...]
-variants: base (bf16+remat), noremat (bf16, no remat), donate
-          (bf16+remat+donated state). Default: base + trace.
+variants: base (bf16+remat+donated state — the shipped recipe), noremat
+          (bf16, donated, no remat), nodonate (bf16+remat, donate=False —
+          measured 6x slower: two live ~2.3 GB Adam states spill HBM).
+Default: base + trace.
 """
 
 import json
 import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -79,7 +83,7 @@ def main():
 
     for v in variants:
         remat = v != "noremat"
-        donate = v == "donate"
+        donate = v != "nodonate"
         print(f"== variant {v} (remat={remat} donate={donate})", flush=True)
         try:
             t0 = time.perf_counter()
