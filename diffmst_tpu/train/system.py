@@ -87,6 +87,11 @@ class SystemConfig:
     # (optax.apply_if_finite); the step metric ``notfinite_count`` reports
     # the running count. 0 preserves reference behavior (poisoned params).
     skip_nonfinite_updates: int = 0
+    # dtype of Adam's first moment (optax ``mu_dtype``). "bfloat16" halves
+    # the mu state (~0.6 GB on the flagship), buying HBM headroom on one
+    # chip; nu and the params stay float32 so the update math is unchanged
+    # apart from the mu rounding. None = float32 (reference numerics).
+    adam_mu_dtype: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -156,7 +161,12 @@ class System:
             lr = cfg.lr
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2),
+            optax.adam(
+                lr,
+                b1=cfg.adam_b1,
+                b2=cfg.adam_b2,
+                mu_dtype=jnp.dtype(cfg.adam_mu_dtype) if cfg.adam_mu_dtype else None,
+            ),
         )
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)

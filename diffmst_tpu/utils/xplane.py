@@ -36,7 +36,10 @@ def _load_xspace(path: str):
 
 
 def top_ops_from_trace(
-    trace_dir: str, top_n: int = 15, device_substr: str = "TPU"
+    trace_dir: str,
+    top_n: int = 15,
+    device_substr: str = "TPU",
+    include_async: bool = False,
 ) -> List[Dict]:
     """Top-N ops by accumulated duration on the device planes.
 
@@ -50,8 +53,8 @@ def top_ops_from_trace(
     if not paths:
         raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
 
-    # op name -> [total_ps, occurrences, line_name]
-    agg: Dict[str, list] = collections.defaultdict(lambda: [0, 0, ""])
+    # op name -> [total_ps, occurrences, line_name, category, flops, bytes]
+    agg: Dict[str, list] = collections.defaultdict(lambda: [0, 0, "", "", 0, 0])
     planes_seen = []
     for path in paths:
         xspace = _load_xspace(path)
@@ -67,9 +70,30 @@ def top_ops_from_trace(
         for plane in planes:
             planes_seen.append(plane.name)
             meta = plane.event_metadata
+            stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+
+            def _meta_stats(m):
+                cat, fl, by = "", 0, 0
+                for s in m.stats:
+                    n = stat_names.get(s.metadata_id, "")
+                    if n == "hlo_category":
+                        cat = s.str_value
+                    elif n == "flops":
+                        fl = s.int64_value
+                    elif n == "bytes_accessed":
+                        by = s.int64_value
+                return cat, fl, by
             # prefer the per-op stream; "XLA Modules" (whole-program spans)
-            # and step lines would double-count every op's time
-            op_lines = [ln for ln in plane.lines if "XLA Ops" in ln.name]
+            # and step lines would double-count every op's time. "Async XLA
+            # Ops" (DMA issue->complete spans) OVERLAP the compute stream —
+            # on a traced bs=4 train step their summed duration exceeded
+            # wall time 2x — so they are excluded from the self-time totals
+            # unless explicitly requested via include_async.
+            op_lines = [
+                ln for ln in plane.lines
+                if "XLA Ops" in ln.name
+                and (include_async or "Async" not in ln.name)
+            ]
             for line in op_lines or plane.lines:
                 for ev in line.events:
                     m = meta.get(ev.metadata_id)
@@ -78,6 +102,8 @@ def top_ops_from_trace(
                     a[0] += ev.duration_ps
                     a[1] += 1
                     a[2] = line.name
+                    if m is not None and not a[3]:
+                        a[3], a[4], a[5] = _meta_stats(m)
     if not agg:
         raise ValueError(
             f"no device events found (planes: {planes_seen or 'none'})"
@@ -89,11 +115,42 @@ def top_ops_from_trace(
             "rank": i + 1,
             "op": name[:160],
             "line": a[2],
+            "category": a[3],
             "occurrences": a[1],
             "total_ms": round(a[0] / 1e9, 3),
             "pct_of_total": round(100.0 * a[0] / total_ps, 1) if total_ps else 0.0,
+            # per-occurrence costs from the compiler's cost model: achieved
+            # bandwidth = gbytes_per_call / (total_ms/occurrences) roofline
+            "gflops_per_call": round(a[4] / 1e9, 3),
+            "gbytes_per_call": round(a[5] / 1e9, 4),
         }
         for i, (name, a) in enumerate(rows[:top_n])
+    ]
+
+
+def category_breakdown_from_trace(
+    trace_dir: str, device_substr: str = "TPU"
+) -> List[Dict]:
+    """Device time grouped by the compiler's hlo_category (convolution,
+    all-reduce fusion, loop fusion, ...): the where-does-the-step-go view."""
+    rows = top_ops_from_trace(trace_dir, top_n=10**6, device_substr=device_substr)
+    agg: Dict[str, list] = collections.defaultdict(lambda: [0.0, 0, 0.0])
+    for r in rows:
+        a = agg[r["category"] or "(uncategorized)"]
+        a[0] += r["total_ms"]
+        a[1] += r["occurrences"]
+        a[2] += r["gflops_per_call"] * r["occurrences"]
+    total_ms = sum(a[0] for a in agg.values())
+    out = sorted(agg.items(), key=lambda kv: kv[1][0], reverse=True)
+    return [
+        {
+            "category": cat,
+            "total_ms": round(a[0], 3),
+            "pct_of_total": round(100.0 * a[0] / total_ms, 1) if total_ms else 0.0,
+            "occurrences": a[1],
+            "total_gflops": round(a[2], 1),
+        }
+        for cat, a in out
     ]
 
 

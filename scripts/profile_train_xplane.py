@@ -11,9 +11,17 @@ improvements. Writes:
 Run from /root/repo on the TPU session:
     python scripts/profile_train_xplane.py [variant ...]
 variants: base (bf16+remat+donated state — the shipped recipe), noremat
-          (bf16, donated, no remat), nodonate (bf16+remat, donate=False —
-          measured 6x slower: two live ~2.3 GB Adam states spill HBM).
-Default: base + trace.
+          (bf16, donated, no remat), noremat_mubf16 (noremat + Adam mu in
+          bf16 for HBM headroom), nodonate (bf16+remat, donate=False).
+Default: base + trace (set DIFFMST_TRACE=0 to skip the trace).
+
+Timing protocol (learned the hard way — see PERF.md "per-dispatch
+measurement footgun"): a 6-step per-dispatch timing taken immediately
+after the cold compile reads ~0.55 steps/s regardless of donation, 6x
+under the Trainer's sustained 3.56. So this script (a) warms up several
+steps after compile, (b) times trainer-style windows (async dispatch,
+sync on the last step's metrics) and reports the best window, and (c)
+also times a fused lax.fori_loop K-step dispatch like bench.py.
 """
 
 import json
@@ -38,14 +46,14 @@ SR = 44100.0
 BS, NT, T = 4, 8, 262144
 
 
-def build(remat: bool, donate: bool):
+def build(remat: bool, donate: bool, mu_dtype=None):
     system = System(
         MixStyleTransferModel.build(
             compute_dtype="bfloat16", remat_encoders=remat
         ),
         AdvancedMixConsole(SR),
         MultiResolutionSTFTLoss(),
-        SystemConfig(steps_per_epoch=100, max_epochs=100),
+        SystemConfig(steps_per_epoch=100, max_epochs=100, adam_mu_dtype=mu_dtype),
     )
     key = jax.random.PRNGKey(0)
     batch = Batch(
@@ -60,16 +68,49 @@ def build(remat: bool, donate: bool):
     return system, state, batch, step
 
 
-def time_steps(step, state, batch, donate: bool, n=6):
+def time_steps(step, state, batch, donate: bool, warmup=4, window=8,
+               windows=3):
+    """Best-window per-dispatch steps/sec (the Trainer's dispatch pattern)."""
     key = jax.random.PRNGKey(2)
     state, m = step(state, batch, key)  # compile
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(n):
+    i = 0
+    for _ in range(warmup):  # post-compile settle (allocator, caches)
         state, m = step(state, batch, jax.random.fold_in(key, i))
+        i += 1
     jax.block_until_ready(m["loss"])
-    per = (time.perf_counter() - t0) / n
-    return 1.0 / per, state
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            i += 1
+        jax.block_until_ready(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / window)
+    return 1.0 / best, state
+
+
+def time_steps_fused(step, state, batch, k=4):
+    """K steps fused into one dispatch (bench.py's harness): removes all
+    per-dispatch host/tunnel overhead; donation inside the trace is a
+    no-op, so this is the pure device-compute rate."""
+    key = jax.random.PRNGKey(5)
+
+    @jax.jit
+    def bench_k(state, batch):
+        def body(i, carry):
+            new_state, _ = step(carry, batch, jax.random.fold_in(key, i))
+            return new_state
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    jax.block_until_ready(bench_k(state, batch))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(bench_k(state, batch))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return 1.0 / best
 
 
 def main():
@@ -82,12 +123,16 @@ def main():
             results = json.load(f)
 
     for v in variants:
-        remat = v != "noremat"
+        remat = not v.startswith("noremat")
         donate = v != "nodonate"
-        print(f"== variant {v} (remat={remat} donate={donate})", flush=True)
+        mu_dtype = "bfloat16" if v.endswith("mubf16") else None
+        print(
+            f"== variant {v} (remat={remat} donate={donate} mu={mu_dtype})",
+            flush=True,
+        )
         try:
             t0 = time.perf_counter()
-            system, state, batch, step = build(remat, donate)
+            system, state, batch, step = build(remat, donate, mu_dtype)
             sps, state = time_steps(step, state, batch, donate)
             results[v] = {
                 "steps_per_sec": round(sps, 3),
@@ -95,11 +140,29 @@ def main():
                 "build_and_compile_s": round(time.perf_counter() - t0, 1),
                 "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
+            # the fused fori_loop harness is a fresh ~30 min XLA compile per
+            # graph, so only the shipped recipe pays for it (it exists to
+            # bound per-dispatch overhead, not to compare variants)
+            if v == "base":
+                sps_fused = time_steps_fused(step, state, batch)
+                results[v]["steps_per_sec_fused"] = round(sps_fused, 3)
+                results[v]["realtime_factor_fused"] = round(
+                    sps_fused * BS * T / SR, 1
+                )
             print(v, results[v], flush=True)
             with open("logs/train_step_variants.json", "w") as f:
                 json.dump(results, f, indent=1)
+        except Exception as exc:
+            results[v] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(v, "FAILED:", exc, flush=True)
+            with open("logs/train_step_variants.json", "w") as f:
+                json.dump(results, f, indent=1)
+            continue
 
-            if v == "base":
+        if v == "base" and os.environ.get("DIFFMST_TRACE", "1") != "0":
+            # trace/parse failures must not clobber the timing result
+            # (a KeyError here once erased base's measurement)
+            try:
                 trace_dir = "logs/xplane_train"
                 key = jax.random.PRNGKey(3)
                 jax.profiler.start_trace(trace_dir)
@@ -113,18 +176,17 @@ def main():
                 with open("logs/train_step_top_ops.json", "w") as f:
                     json.dump(
                         {"shape": f"{BS}x{NT}x{T}", "recipe": "bf16+remat",
-                         "steps_traced": 3, "top_ops": top,
+                         "steps_traced": 3,
+                         "steps_per_sec_at_capture": results[v]["steps_per_sec"],
+                         "top_ops": top,
                          "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S")},
                         f, indent=1,
                     )
                 for r in top[:10]:
-                    print(f"  {r['pct_of_total']:5.1f}% {r['category']:<12} "
+                    print(f"  {r['pct_of_total']:5.1f}% {r['line']:<12} "
                           f"{r['op'][:80]}", flush=True)
-        except Exception as exc:
-            results[v] = {"error": f"{type(exc).__name__}: {exc}"}
-            print(v, "FAILED:", exc, flush=True)
-            with open("logs/train_step_variants.json", "w") as f:
-                json.dump(results, f, indent=1)
+            except Exception as exc:
+                print("trace FAILED:", exc, flush=True)
 
     print(json.dumps(results))
 

@@ -97,6 +97,36 @@ def test_train_step_bf16_remat_recipe():
     assert losses[-1] < losses[0], losses
 
 
+def test_adam_mu_bf16_trains():
+    """SystemConfig(adam_mu_dtype="bfloat16") stores Adam's first moment in
+    bf16 (HBM headroom on one chip) while nu and the params stay f32, and
+    the step still trains."""
+    sys = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+        ),
+        SystemConfig(
+            steps_per_epoch=10, max_epochs=10, lr=1e-4,
+            adam_mu_dtype="bfloat16",
+        ),
+    )
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = sys.init(jax.random.PRNGKey(1), batch)
+    adam_state = state.opt_state[1][0]  # chain(clip, adam) -> ScaleByAdamState
+    assert all(m.dtype == jnp.bfloat16 for m in jax.tree.leaves(adam_state.mu))
+    assert all(v.dtype == jnp.float32 for v in jax.tree.leaves(adam_state.nu))
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    step = sys.make_train_step(sys.effect_flags(0), donate=False)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+
+
 def test_curriculum_flags():
     sys = System(
         small_model(), AdvancedMixConsole(SR), MultiResolutionSTFTLoss(),
