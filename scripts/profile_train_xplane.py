@@ -30,6 +30,9 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# log persistent-cache hits/misses/write-skips (a 27 min recompile that
+# silently failed to cache cost an hour before this was turned on)
+os.environ.setdefault("JAX_DEBUG_LOG_MODULES", "jax._src.compilation_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -70,22 +73,29 @@ def build(remat: bool, donate: bool, mu_dtype=None):
 
 def time_steps(step, state, batch, donate: bool, warmup=4, window=8,
                windows=3):
-    """Best-window per-dispatch steps/sec (the Trainer's dispatch pattern)."""
+    """Best-window per-dispatch steps/sec (the Trainer's dispatch pattern).
+
+    Windows synchronize by FETCHING the last step's loss (``float(...)``,
+    a real device->host data read), exactly like the Trainer's metric
+    logging. ``jax.block_until_ready`` is NOT a usable fence on the axon
+    remote backend: a block_until_ready-fenced window once measured 310
+    "steps"/s — pure dispatch rate — while the fused fori_loop measured
+    3.48 on the same process."""
     key = jax.random.PRNGKey(2)
     state, m = step(state, batch, key)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     i = 0
     for _ in range(warmup):  # post-compile settle (allocator, caches)
         state, m = step(state, batch, jax.random.fold_in(key, i))
         i += 1
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(window):
             state, m = step(state, batch, jax.random.fold_in(key, i))
             i += 1
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # data fetch = true sync
         best = min(best, (time.perf_counter() - t0) / window)
     return 1.0 / best, state
 
@@ -104,11 +114,17 @@ def time_steps_fused(step, state, batch, k=4):
 
         return jax.lax.fori_loop(0, k, body, state)
 
-    jax.block_until_ready(bench_k(state, batch))  # compile + warm
+    def fence(out):
+        # data-fetch fence (see time_steps docstring): read one element of
+        # one result leaf — its slice op executes after the whole loop
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
+
+    fence(bench_k(state, batch))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(bench_k(state, batch))
+        fence(bench_k(state, batch))
         best = min(best, (time.perf_counter() - t0) / k)
     return 1.0 / best
 
@@ -140,15 +156,21 @@ def main():
                 "build_and_compile_s": round(time.perf_counter() - t0, 1),
                 "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
+            print(v, "windowed:", results[v], flush=True)
+            with open("logs/train_step_variants.json", "w") as f:
+                json.dump(results, f, indent=1)  # persist before slow fused run
             # the fused fori_loop harness is a fresh ~30 min XLA compile per
-            # graph, so only the shipped recipe pays for it (it exists to
-            # bound per-dispatch overhead, not to compare variants)
-            if v == "base":
-                sps_fused = time_steps_fused(step, state, batch)
-                results[v]["steps_per_sec_fused"] = round(sps_fused, 3)
-                results[v]["realtime_factor_fused"] = round(
-                    sps_fused * BS * T / SR, 1
-                )
+            # graph, so only selected variants pay for it (default: the
+            # shipped recipe; DIFFMST_FUSED=a,b to fused-time others)
+            if v in os.environ.get("DIFFMST_FUSED", "base").split(","):
+                try:
+                    sps_fused = time_steps_fused(step, state, batch)
+                    results[v]["steps_per_sec_fused"] = round(sps_fused, 3)
+                    results[v]["realtime_factor_fused"] = round(
+                        sps_fused * BS * T / SR, 1
+                    )
+                except Exception as exc:
+                    results[v]["fused_error"] = f"{type(exc).__name__}: {exc}"
             print(v, results[v], flush=True)
             with open("logs/train_step_variants.json", "w") as f:
                 json.dump(results, f, indent=1)
