@@ -60,6 +60,19 @@ def probe_devices(timeout_s: float) -> bool:
         return False
 
 
+def _fence(jax, jnp, out):
+    """Execution fence via a device->host data read.
+
+    ``jax.block_until_ready`` proved unreliable as a fence on the remote
+    axon backend (a block_until_ready-fenced timing window once read the
+    dispatch rate, 310 "steps"/s, where the true step rate was 3.5 — see
+    PERF.md "per-dispatch measurement footgun"). Fetching one element of
+    one result leaf cannot resolve before the computation has executed.
+    """
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def bench_console(jax, jnp, smoother="auto"):
     """Console fwd+bwd realtime factor at the reference profiler shape."""
     from diffmst_tpu.console import AdvancedMixConsole
@@ -98,11 +111,11 @@ def bench_console(jax, jnp, smoother="auto"):
 
         return jax.lax.fori_loop(0, K, body, (tp, mp))
 
-    jax.block_until_ready(bench_k(tp, mp, tracks))  # compile + warm
+    _fence(jax, jnp, bench_k(tp, mp, tracks))  # compile + warm
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(bench_k(tp, mp, tracks))
+        _fence(jax, jnp, bench_k(tp, mp, tracks))
         times.append((time.perf_counter() - t0) / K)
     per_step = min(times)
     return (bs * seq_len / sr) / per_step
@@ -153,11 +166,11 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False):
 
         return jax.lax.fori_loop(0, K, body, state)
 
-    jax.block_until_ready(bench_k(state))  # compile + warm
+    _fence(jax, jnp, bench_k(state))  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(bench_k(state))
+        _fence(jax, jnp, bench_k(state))
         times.append((time.perf_counter() - t0) / K)
     per_step = min(times)
     return 1.0 / per_step, (bs * seq_len / sr) / per_step
@@ -222,7 +235,7 @@ def bench_inference(jax, jnp, song_seconds=60.0):
         dmix, *_ = run_diffmst(
             tracks, ref, apply, console, return_device=True
         )
-        jax.block_until_ready(dmix)
+        _fence(jax, jnp, dmix)  # data-read fence (block_until_ready unreliable)
         best_dev = min(best_dev, time.perf_counter() - t0)
     # cold-song cost: a FRESH array identity bypasses the device track
     # cache, so this includes the one-time full-song upload (through the
