@@ -76,6 +76,14 @@ class Cnn14(nn.Module):
     # 2048). Smaller values give architecture-faithful but cheap models for
     # tests and multi-chip dry runs.
     base_width: int = 64
+    # Rematerialize the first N conv blocks on the backward pass (selective
+    # remat). The early blocks dominate activation HBM (block 1 at the train
+    # recipe shape is [32, 1025, 257, 64], 2x lane-padded), while per-block
+    # conv FLOPs are roughly flat across the schedule — so remat_blocks=1..2
+    # buys most of whole-encoder remat's memory headroom at ~1/6-1/3 of its
+    # recompute cost. 0 = no remat here (the model-level remat_encoders flag
+    # wraps the whole encoder instead).
+    remat_blocks: int = 0
 
     # pool schedule per panns.py:188-198
     _POOLS = ((2, 2), (4, 4), (4, 2), (4, 2), (4, 2), (2, 2))
@@ -96,13 +104,19 @@ class Cnn14(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for i, pool in enumerate(self._POOLS):
-            x = ConvBlock(
+            # pool_size and train are static (they shape the traced graph)
+            block_cls = (
+                nn.remat(ConvBlock, static_argnums=(2, 3))
+                if i < self.remat_blocks
+                else ConvBlock
+            )
+            x = block_cls(
                 self.base_width << i,
                 use_batchnorm=self.use_batchnorm,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 name=f"conv_block{i + 1}",
-            )(x, pool, train=train)
+            )(x, pool, train)
         # mean across frequency bins (torch dim=2 == our axis 1)
         x = jnp.mean(x, axis=1)  # (bs, frames', ch)
         # max + mean over time

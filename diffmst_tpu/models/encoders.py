@@ -36,6 +36,7 @@ class SpectrogramEncoder(nn.Module):
     spec_eps: float = 1e-8
     cnn_base_width: int = 64
     dtype: Optional[jnp.dtype] = None  # computation dtype for the CNN
+    remat_blocks: int = 0  # selective remat of the first N Cnn14 blocks
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -61,6 +62,7 @@ class SpectrogramEncoder(nn.Module):
             bn_axis_name=self.bn_axis_name,
             base_width=self.cnn_base_width,
             dtype=self.dtype,
+            remat_blocks=self.remat_blocks,
             name="model",
         )(mag, train=train)
 

@@ -103,6 +103,7 @@ class MixStyleTransferModel(nn.Module):
         cnn_base_width: int = 64,
         compute_dtype: Optional[str] = None,
         remat_encoders: bool = False,
+        remat_blocks: int = 0,
     ) -> "MixStyleTransferModel":
         """The shipped configuration (configs/models/naive.yaml:30-52).
 
@@ -112,9 +113,15 @@ class MixStyleTransferModel(nn.Module):
         pass — the encoders' conv activations dominate train-step HBM at the
         reference recipe shape (batch 4 x 8 tracks x 262,144), so this trades
         ~1/3 more encoder FLOPs for fitting larger batches per chip.
+        ``remat_blocks=N`` is the selective alternative: remat only the first
+        N Cnn14 blocks (the HBM-dominant ones) and keep the cheap late-block
+        activations — most of the memory headroom at a fraction of the
+        recompute (mutually exclusive with ``remat_encoders``).
         """
         import flax.linen as nn
 
+        if remat_encoders and remat_blocks:
+            raise ValueError("use either remat_encoders or remat_blocks")
         dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         enc_cls = (
             nn.remat(SpectrogramEncoder, static_argnums=(2,))
@@ -129,6 +136,7 @@ class MixStyleTransferModel(nn.Module):
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
                 dtype=dtype,
+                remat_blocks=remat_blocks,
             ),
             mix_encoder=enc_cls(
                 embed_dim=embed_dim,
@@ -137,6 +145,7 @@ class MixStyleTransferModel(nn.Module):
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
                 dtype=dtype,
+                remat_blocks=remat_blocks,
             ),
             controller=TransformerController(
                 embed_dim=embed_dim,

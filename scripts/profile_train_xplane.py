@@ -49,10 +49,12 @@ SR = 44100.0
 BS, NT, T = 4, 8, 262144
 
 
-def build(remat: bool, donate: bool, mu_dtype=None):
+def build(remat: bool, donate: bool, mu_dtype=None, remat_blocks=0):
     system = System(
         MixStyleTransferModel.build(
-            compute_dtype="bfloat16", remat_encoders=remat
+            compute_dtype="bfloat16",
+            remat_encoders=remat and not remat_blocks,
+            remat_blocks=remat_blocks,
         ),
         AdvancedMixConsole(SR),
         MultiResolutionSTFTLoss(),
@@ -142,13 +144,17 @@ def main():
         remat = not v.startswith("noremat")
         donate = v != "nodonate"
         mu_dtype = "bfloat16" if v.endswith("mubf16") else None
+        # "rematblkN[_mubf16]": selective remat of the first N Cnn14 blocks
+        remat_blocks = int(v.split("rematblk")[1][0]) if "rematblk" in v else 0
         print(
-            f"== variant {v} (remat={remat} donate={donate} mu={mu_dtype})",
+            f"== variant {v} (remat={remat} donate={donate} mu={mu_dtype} "
+            f"blocks={remat_blocks})",
             flush=True,
         )
         try:
             t0 = time.perf_counter()
-            system, state, batch, step = build(remat, donate, mu_dtype)
+            system, state, batch, step = build(remat, donate, mu_dtype,
+                                               remat_blocks)
             sps, state = time_steps(step, state, batch, donate)
             results[v] = {
                 "steps_per_sec": round(sps, 3),

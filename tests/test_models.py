@@ -235,3 +235,29 @@ def test_unet_separator_shapes_and_reconstruction():
         np.asarray(stems.sum(axis=1)), np.asarray(x), atol=2e-4
     )
     assert np.isfinite(np.asarray(stems)).all()
+
+
+def test_cnn14_remat_blocks_parity():
+    """Selective remat (remat_blocks=N) is a pure scheduling change: same
+    parameter tree, bit-identical forward and gradients."""
+    from diffmst_tpu.models.cnn14 import Cnn14
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 1024, 128)) * 0.1
+    m0 = Cnn14(num_classes=8, base_width=4)
+    m2 = Cnn14(num_classes=8, base_width=4, remat_blocks=2)
+    v = jax.jit(m0.init)(jax.random.PRNGKey(1), x)
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(v, x)), np.asarray(m2.apply(v, x))
+    )
+
+    def loss(params, m):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    g0 = jax.grad(loss)(v["params"], m0)
+    g2 = jax.grad(loss)(v["params"], m2)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
