@@ -96,6 +96,7 @@ def synth_song(rng: np.random.Generator) -> np.ndarray:
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lr = float(sys.argv[3]) if len(sys.argv) > 3 else 3e-4
     print("backend:", jax.default_backend(), flush=True)
 
     rng = np.random.default_rng(0)
@@ -114,11 +115,12 @@ def main():
     system = ParameterEstimationSystem(
         encoder, projector, console,
         remixer=Remixer(SR, separator=hpss_separator),
-        lr=3e-4, schedule="none",
+        lr=lr, schedule="none",
     )
 
     key = jax.random.PRNGKey(0)
-    example = jnp.asarray(songs[:bs])
+    songs_dev = jnp.asarray(songs)  # upload the pool ONCE; gather on device
+    example = songs_dev[:bs]
     state = jax.jit(system.init)(key, example)
     step_fn = system.make_train_step()
 
@@ -127,7 +129,7 @@ def main():
     for i in range(steps):
         key, k_batch, k_step = jax.random.split(key, 3)
         idx = jax.random.choice(k_batch, 8, (bs,), replace=False)
-        batch = jnp.asarray(songs)[idx]
+        batch = songs_dev[idx]
         state, metrics = step_fn(state, batch, k_step)
         if (i + 1) % 10 == 0:
             losses.append(float(metrics["loss"]))
@@ -144,6 +146,7 @@ def main():
         "separator": "hpss_separator",
         "steps": steps,
         "batch_size": bs,
+        "lr": lr,
         "wall_s": round(wall, 1),
         "loss_trail": [round(x, 4) for x in losses],
         "smoothed_first_third": round(first_mean, 4),
