@@ -121,7 +121,8 @@ def bench_console(jax, jnp, smoother="auto"):
     return (bs * seq_len / sr) / per_step
 
 
-def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False):
+def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False,
+                     remat_blocks=0, adam_mu_dtype=None):
     """Full Method-1 train step (model+console+MRSTFT fwd+bwd+Adam), 4x8x262144.
 
     Reference recipe shape: configs/data/medley+cambridge-8.yaml:10-13. Model
@@ -138,10 +139,16 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False):
     sr = 44100.0
     num_tracks, seq_len = 8, 262144
     system = System(
-        MixStyleTransferModel.build(compute_dtype=compute_dtype, remat_encoders=remat),
+        MixStyleTransferModel.build(
+            compute_dtype=compute_dtype,
+            remat_encoders=remat and not remat_blocks,
+            remat_blocks=remat_blocks,
+        ),
         AdvancedMixConsole(sr),
         MultiResolutionSTFTLoss(),
-        SystemConfig(steps_per_epoch=100, max_epochs=100),
+        SystemConfig(
+            steps_per_epoch=100, max_epochs=100, adam_mu_dtype=adam_mu_dtype
+        ),
     )
     key = jax.random.PRNGKey(0)
     batch = Batch(

@@ -76,9 +76,10 @@ class Remixer:
         fp = jax.random.uniform(k2, (bs, mix_console.num_fx_bus_control_params))
         mp = jax.random.uniform(k3, (bs, mix_console.num_master_bus_control_params))
 
-        out = mix_console(
-            tracks, tp, fp, mp, use_output_fader=False, use_fx_bus=False, key=k4
-        )
+        # reference renders with use_output_fader=False ONLY (modules.py:540-546)
+        # — the fx bus stays ON (console forward default, modules.py:327), so
+        # the 25 fx-bus params actually shape the remix and are learnable
+        out = mix_console(tracks, tp, fp, mp, use_output_fader=False, key=k4)
         remix = jax.lax.stop_gradient(out.mix)
         remix = jnp.tanh(remix / self.clip_level) * self.clip_level
         return remix, tp, fp, mp
@@ -124,24 +125,45 @@ class ParameterEstimationSystem:
     # ------------------------------------------------------------ forward
     def _forward(self, variables, input_mix, output_mix, train: bool):
         """Embed each channel of both mixes, difference, project
-        (param_system.py:37-60)."""
+        (param_system.py:37-60).
+
+        The four mono signals (input L/R, output L/R) are stacked along the
+        batch axis and embedded in ONE encoder apply — numerically identical
+        to the reference's four separate calls for conv/eval-BN, one device
+        dispatch instead of four, and a single batch-stats update in train
+        mode (train-mode BN then normalizes over the combined 4*bs batch; a
+        documented, better-conditioned deviation from per-call stats).
+        Returns ((tp, fp, mp), new_encoder_batch_stats).
+        """
         enc_vars = variables["encoder"]
         proj_vars = variables["projector"]
 
-        def embed(sig):  # (bs, 1, t) -> (bs, d)
-            v = {"params": enc_vars["params"]}
-            if enc_vars.get("batch_stats"):
-                v["batch_stats"] = enc_vars["batch_stats"]
-            mutable = ["batch_stats"] if (train and enc_vars.get("batch_stats")) else False
-            out = self.encoder.apply(v, sig, train=train, mutable=mutable)
-            return out[0] if mutable else out
-
-        z_in_l = embed(input_mix[:, 0:1, :])
-        z_in_r = embed(input_mix[:, 1:2, :])
-        z_out_l = embed(output_mix[:, 0:1, :])
-        z_out_r = embed(output_mix[:, 1:2, :])
+        bs = input_mix.shape[0]
+        sigs = jnp.concatenate(
+            [
+                input_mix[:, 0:1, :],
+                input_mix[:, 1:2, :],
+                output_mix[:, 0:1, :],
+                output_mix[:, 1:2, :],
+            ],
+            axis=0,
+        )  # (4*bs, 1, t)
+        v = {"params": enc_vars["params"]}
+        if enc_vars.get("batch_stats"):
+            v["batch_stats"] = enc_vars["batch_stats"]
+        mutable = ["batch_stats"] if (train and enc_vars.get("batch_stats")) else False
+        out = self.encoder.apply(v, sigs, train=train, mutable=mutable)
+        if mutable:
+            z_all, upd = out
+            new_stats = upd.get("batch_stats", enc_vars.get("batch_stats", {}))
+        else:
+            z_all = out
+            new_stats = enc_vars.get("batch_stats", {})
+        z_in_l, z_in_r, z_out_l, z_out_r = (
+            z_all[:bs], z_all[bs : 2 * bs], z_all[2 * bs : 3 * bs], z_all[3 * bs :]
+        )
         z = jnp.concatenate([z_out_l - z_in_l, z_out_r - z_in_r], axis=-1)
-        return self.projector.apply({"params": proj_vars["params"]}, z)
+        return self.projector.apply({"params": proj_vars["params"]}, z), new_stats
 
     def init(self, key: jax.Array, example_mix: jnp.ndarray) -> ParamTrainState:
         k1, k2 = jax.random.split(key)
@@ -166,6 +188,20 @@ class ParameterEstimationSystem:
             jnp.zeros((), jnp.int32),
         )
 
+    def _group_losses(self, preds, tp, fp, mp):
+        """Per-group MSE scaled by parameter counts (param_system.py:100-105)."""
+        tp_hat, fp_hat, mp_hat = preds
+        tl = jnp.mean(jnp.square(tp_hat - tp)) * (tp.shape[-1] + tp.shape[-2])
+        fl = jnp.mean(jnp.square(fp_hat - fp)) * fp.shape[-1]
+        ml = jnp.mean(jnp.square(mp_hat - mp)) * mp.shape[-1]
+        loss = tl + fl + ml
+        return loss, {
+            "loss": loss,
+            "track_param_loss": tl,
+            "fx_bus_param_loss": fl,
+            "master_bus_param_loss": ml,
+        }
+
     def make_train_step(self):
         def train_step(state: ParamTrainState, input_mix: jnp.ndarray, key):
             k_remix, k_fwd = jax.random.split(key)
@@ -179,43 +215,52 @@ class ParameterEstimationSystem:
                     },
                     "projector": {"params": trainable["projector"]},
                 }
-                tp_hat, fp_hat, mp_hat = self._forward(
-                    variables, input_mix, remix, train=False
+                # train-mode BN (batch statistics + running-stats update),
+                # matching the reference's Lightning training semantics
+                preds, new_stats = self._forward(
+                    variables, input_mix, remix, train=True
                 )
-                # scale each group's MSE by its parameter count
-                # (param_system.py:100-105)
-                tl = jnp.mean(jnp.square(tp_hat - tp)) * (
-                    tp.shape[-1] + tp.shape[-2]
-                )
-                fl = jnp.mean(jnp.square(fp_hat - fp)) * fp.shape[-1]
-                ml = jnp.mean(jnp.square(mp_hat - mp)) * mp.shape[-1]
-                loss = tl + fl + ml
-                return loss, {
-                    "loss": loss,
-                    "track_param_loss": tl,
-                    "fx_bus_param_loss": fl,
-                    "master_bus_param_loss": ml,
-                }
+                loss, metrics = self._group_losses(preds, tp, fp, mp)
+                return loss, (metrics, new_stats)
 
             trainable = {
                 "encoder": state.params["encoder"]["params"],
                 "projector": state.params["projector"]["params"],
             }
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable
-            )
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable)
             updates, new_opt = self.optimizer.update(grads, state.opt_state, trainable)
             new_trainable = optax.apply_updates(trainable, updates)
             new_params = {
                 "encoder": {
                     "params": new_trainable["encoder"],
-                    "batch_stats": state.batch_stats,
+                    "batch_stats": new_stats,
                 },
                 "projector": {"params": new_trainable["projector"]},
             }
             return (
-                ParamTrainState(new_params, state.batch_stats, new_opt, state.step + 1),
+                ParamTrainState(new_params, new_stats, new_opt, state.step + 1),
                 metrics,
             )
 
         return jax.jit(train_step)
+
+    def make_eval_step(self):
+        """Jitted fixed-target evaluation: score the current weights against a
+        frozen (input_mix, remix, params) tuple with eval-mode BN. Low-variance
+        convergence evidence — the targets don't resample per step."""
+
+        def eval_step(state: ParamTrainState, input_mix, remix, tp, fp, mp):
+            variables = {
+                "encoder": {
+                    "params": state.params["encoder"]["params"],
+                    "batch_stats": state.batch_stats,
+                },
+                "projector": {"params": state.params["projector"]["params"]},
+            }
+            preds, _ = self._forward(variables, input_mix, remix, train=False)
+            _, metrics = self._group_losses(preds, tp, fp, mp)
+            return metrics
+
+        return jax.jit(eval_step)

@@ -94,13 +94,15 @@ def synth_song(rng: np.random.Generator) -> np.ndarray:
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     lr = float(sys.argv[3]) if len(sys.argv) > 3 else 3e-4
     print("backend:", jax.default_backend(), flush=True)
 
     rng = np.random.default_rng(0)
-    songs = np.stack([synth_song(rng) for _ in range(8)])  # (8, 2, T)
+    n_pool = 16
+    songs = np.stack([synth_song(rng) for _ in range(n_pool)])  # train pool
+    eval_songs = np.stack([synth_song(rng) for _ in range(4)])  # held out
 
     console = AdvancedMixConsole(SR)
     encoder = SpectrogramEncoder(
@@ -123,17 +125,44 @@ def main():
     example = songs_dev[:bs]
     state = jax.jit(system.init)(key, example)
     step_fn = system.make_train_step()
+    eval_fn = system.make_eval_step()
 
-    losses = []
+    # Fixed held-out eval set: HELD-OUT songs remixed ONCE with a frozen key.
+    # The targets never resample, so the eval trail is low-variance —
+    # dropping below the constant-0.5 baseline on it is unambiguous evidence
+    # the encoder reads parameters out of the (input, HPSS-remix) pair.
+    eval_in = jnp.asarray(eval_songs)
+    e_remix, e_tp, e_fp, e_mp = jax.jit(
+        lambda x, k: system.remixer(x, console, k)
+    )(eval_in, jax.random.PRNGKey(1234))
+
+    losses, eval_trail = [], []
+    eval_every = max(10, steps // 40)
+
+    def run_eval(step_no):
+        m = eval_fn(state, eval_in, e_remix, e_tp, e_fp, e_mp)
+        rec = {
+            "step": step_no,
+            "loss": round(float(m["loss"]), 4),
+            "track": round(float(m["track_param_loss"]), 4),
+            "fx": round(float(m["fx_bus_param_loss"]), 4),
+            "master": round(float(m["master_bus_param_loss"]), 4),
+        }
+        eval_trail.append(rec)
+        print(f"  eval@{step_no}: {rec}", flush=True)
+
+    run_eval(0)
     t0 = time.time()
     for i in range(steps):
         key, k_batch, k_step = jax.random.split(key, 3)
-        idx = jax.random.choice(k_batch, 8, (bs,), replace=False)
+        idx = jax.random.choice(k_batch, n_pool, (bs,), replace=False)
         batch = songs_dev[idx]
         state, metrics = step_fn(state, batch, k_step)
         if (i + 1) % 10 == 0:
             losses.append(float(metrics["loss"]))
-            print(f"step {i+1}: loss {losses[-1]:.4f}", flush=True)
+        if (i + 1) % eval_every == 0:
+            print(f"step {i+1}: train loss {losses[-1]:.4f}", flush=True)
+            run_eval(i + 1)
     wall = time.time() - t0
 
     third = max(1, len(losses) // 3)
@@ -141,6 +170,7 @@ def main():
     last_mean = float(np.mean(losses[-third:]))
     # constant-0.5 predictor: Var(U(0,1)) = 1/12 per param, group-scaled
     baseline = (27 + 8) / 12.0 + 25 / 12.0 + 26 / 12.0
+    e_first, e_last = eval_trail[0]["loss"], eval_trail[-1]["loss"]
     summary = {
         "backend": jax.default_backend(),
         "separator": "hpss_separator",
@@ -154,6 +184,10 @@ def main():
         "constant_half_baseline": round(baseline, 4),
         "loss_dropped": bool(last_mean < first_mean),
         "below_constant_baseline": bool(last_mean < baseline),
+        "heldout_eval_trail": eval_trail,
+        "heldout_eval_first": e_first,
+        "heldout_eval_last": e_last,
+        "heldout_below_constant_baseline": bool(e_last < baseline),
         "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     os.makedirs("logs", exist_ok=True)

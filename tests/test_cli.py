@@ -125,7 +125,11 @@ def test_remixer_and_param_system():
         np.asarray(stems.sum(axis=1)), np.asarray(x), atol=1e-4
     )
 
-    console = AdvancedMixConsole(44100.0)
+    # small reverb IR: the fx bus is ON in the Remixer render (reference
+    # parity) and the default 65536-tap IR makes this CPU test minutes-slow
+    console = AdvancedMixConsole(
+        44100.0, reverb_num_samples=16384, reverb_num_taps=255
+    )
     remix, tp, fp, mp = Remixer(44100.0)(x, console, jax.random.PRNGKey(1))
     assert remix.shape == x.shape
     assert np.isfinite(np.asarray(remix)).all()
@@ -136,6 +140,20 @@ def test_remixer_and_param_system():
         embed_dim=32, num_tracks=8, num_track_control_params=27,
         num_fx_bus_control_params=25, num_master_bus_control_params=26,
     )
+    # fx-bus params must be OBSERVABLE in the remix: the reference Remixer
+    # renders with use_output_fader=False only, fx bus ON (modules.py:540-546
+    # + forward default modules.py:327) — so two fx param draws change the mix
+    tracks8 = stems.reshape(2, 8, T) * 10 ** (-48 / 20.0)
+    tp0 = jnp.full((2, 8, 27), 0.5)
+    mp0 = jnp.full((2, 26), 0.5)
+    fp_a = jnp.full((2, 25), 0.2)
+    fp_b = jnp.full((2, 25), 0.9)
+    out_a = console(tracks8, tp0, fp_a, mp0, use_output_fader=False,
+                    key=jax.random.PRNGKey(7)).mix
+    out_b = console(tracks8, tp0, fp_b, mp0, use_output_fader=False,
+                    key=jax.random.PRNGKey(7)).mix
+    assert float(jnp.abs(out_a - out_b).max()) > 1e-6
+
     system = ParameterEstimationSystem(enc, proj, console, steps_per_epoch=2, max_epochs=2)
     state = system.init(jax.random.PRNGKey(2), x)
     step = system.make_train_step()
@@ -146,6 +164,14 @@ def test_remixer_and_param_system():
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
     assert {"track_param_loss", "fx_bus_param_loss", "master_bus_param_loss"} <= set(m)
+
+    # fixed-target eval step: deterministic, finite, eval-mode BN
+    eval_fn = system.make_eval_step()
+    remix2, tp2, fp2, mp2 = system.remixer(x, console, jax.random.PRNGKey(3))
+    m1 = eval_fn(state, x, remix2, tp2, fp2, mp2)
+    m2 = eval_fn(state, x, remix2, tp2, fp2, mp2)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["loss"]) == float(m2["loss"])
 
 
 def test_cli_validate_runs_real_pass(tmp_path, dataset_dir, capsys):  # noqa: F811
