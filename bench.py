@@ -346,17 +346,18 @@ def run_once(time_left_s=None):
         return time_left_s is None or time_left_s() > seconds
 
     if os.environ.get("BENCH_SKIP_TRAIN_STEP", "") != "1":
-        # Two train-step configs, both recorded (measured 2026-08-16; the
-        # f32 bs=4 recipe is a KNOWN HBM OOM — Cnn14 block-1 backward
-        # activations f32[32,1025,257,64] lane-pad 2x; see PERF.md — and
-        # each doomed attempt costs a 10-20 min remote compile, so it is
-        # not retried here):
+        # Two train-step configs, both recorded (the f32 bs=4 recipe is a
+        # KNOWN HBM OOM — Cnn14 block-1 backward activations
+        # f32[32,1025,257,64] lane-pad 2x; see PERF.md — and each doomed
+        # attempt costs a 10-20 min remote compile, so it is not retried):
         #   * bs=1 f32 — the reference's training dtype, always fits;
-        #   * bs=4 remat bf16 — the full reference recipe batch
-        #     (configs/data/medley+cambridge-8.yaml) at bf16 compute.
-        for bs, remat, dt, need_s in (
-            (1, False, None, 600),
-            (4, True, "bfloat16", 1500),
+        #   * bs=4 bf16, no remat, Adam mu bf16 — the shipped TPU recipe
+        #     (configs/models/naive+tpu.yaml): measured fastest of
+        #     {whole-encoder remat, rematblk1/2, noremat+mubf16} at the
+        #     full reference batch (logs/train_step_variants.json).
+        for bs, remat, dt, mu_dt, need_s in (
+            (1, False, None, None, 600),
+            (4, False, "bfloat16", "bfloat16", 1500),
         ):
             key_sfx = (
                 f"{bs}x8x262144"
@@ -371,7 +372,8 @@ def run_once(time_left_s=None):
             ]
             try:
                 steps_per_sec, train_rtf = bench_train_step(
-                    jax, jnp, bs=bs, remat=remat, compute_dtype=dt
+                    jax, jnp, bs=bs, remat=remat, compute_dtype=dt,
+                    adam_mu_dtype=mu_dt,
                 )
                 result[keys[0]] = round(steps_per_sec, 3)
                 result[keys[1]] = round(train_rtf, 1)

@@ -187,7 +187,8 @@ def main():
                 json.dump(results, f, indent=1)
             continue
 
-        if v == "base" and os.environ.get("DIFFMST_TRACE", "1") != "0":
+        trace_target = os.environ.get("DIFFMST_TRACE_VARIANT", "base")
+        if v == trace_target and os.environ.get("DIFFMST_TRACE", "1") != "0":
             # trace/parse failures must not clobber the timing result
             # (a KeyError here once erased base's measurement)
             try:
@@ -203,7 +204,7 @@ def main():
                 top = top_ops_from_trace(trace_dir, top_n=15)
                 with open("logs/train_step_top_ops.json", "w") as f:
                     json.dump(
-                        {"shape": f"{BS}x{NT}x{T}", "recipe": "bf16+remat",
+                        {"shape": f"{BS}x{NT}x{T}", "recipe": f"bf16 variant={v}",
                          "steps_traced": 3,
                          "steps_per_sec_at_capture": results[v]["steps_per_sec"],
                          "top_ops": top,

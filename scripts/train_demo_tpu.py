@@ -93,13 +93,13 @@ def main():
 
     system = System(
         MixStyleTransferModel.build(
-            compute_dtype="bfloat16", remat_encoders=True
+            compute_dtype="bfloat16", remat_encoders=False
         ),
         AdvancedMixConsole(SR),
         MultiResolutionSTFTLoss(),
         SystemConfig(
             steps_per_epoch=steps_per_epoch, max_epochs=epochs, lr=1e-4,
-            active_fx_bus_epoch=1000,
+            active_fx_bus_epoch=1000, adam_mu_dtype="bfloat16",
         ),
     )
     device_pool = os.environ.get("DEMO_HOST_IO", "") != "1"
@@ -129,7 +129,7 @@ def main():
     summary = {
         "backend": jax.default_backend(),
         "shape": f"{BS}x{NT}x{T}",
-        "recipe": "bf16 compute + remat encoders (configs/models/naive+tpu.yaml)",
+        "recipe": "bf16 compute, no remat, Adam mu bf16 (configs/models/naive+tpu.yaml)",
         "batch_residency": "device" if device_pool else "host (tunnel IO included)",
         "distinct_batches": 4,
         "steps": int(state.step),
