@@ -92,6 +92,15 @@ class SystemConfig:
     # chip; nu and the params stay float32 so the update math is unchanged
     # apart from the mu rounding. None = float32 (reference numerics).
     adam_mu_dtype: Optional[str] = None
+    # Run the optimizer over one ravelled parameter vector (optax.flatten).
+    # Numerically identical to per-leaf state (global-norm clip and Adam are
+    # elementwise / whole-tree reductions). Measured SLOWER on TPU v5e at
+    # the flagship recipe (3.99 vs 4.19 steps/s, logs/train_step_variants
+    # .json "noremat_mubf16_flat"): the per-step ravel/unravel copies cost
+    # more than the per-leaf fusion overhead they remove — keep False there.
+    # Changes the opt_state pytree layout — checkpoints are not
+    # interchangeable with flatten_optimizer=False runs.
+    flatten_optimizer: bool = False
 
 
 class TrainState(NamedTuple):
@@ -168,6 +177,8 @@ class System:
                 mu_dtype=jnp.dtype(cfg.adam_mu_dtype) if cfg.adam_mu_dtype else None,
             ),
         )
+        if cfg.flatten_optimizer:
+            tx = optax.flatten(tx)
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
         if cfg.skip_nonfinite_updates > 0:

@@ -49,7 +49,8 @@ SR = 44100.0
 BS, NT, T = 4, 8, 262144
 
 
-def build(remat: bool, donate: bool, mu_dtype=None, remat_blocks=0):
+def build(remat: bool, donate: bool, mu_dtype=None, remat_blocks=0,
+          flatten=False):
     system = System(
         MixStyleTransferModel.build(
             compute_dtype="bfloat16",
@@ -58,7 +59,8 @@ def build(remat: bool, donate: bool, mu_dtype=None, remat_blocks=0):
         ),
         AdvancedMixConsole(SR),
         MultiResolutionSTFTLoss(),
-        SystemConfig(steps_per_epoch=100, max_epochs=100, adam_mu_dtype=mu_dtype),
+        SystemConfig(steps_per_epoch=100, max_epochs=100,
+                     adam_mu_dtype=mu_dtype, flatten_optimizer=flatten),
     )
     key = jax.random.PRNGKey(0)
     batch = Batch(
@@ -143,18 +145,19 @@ def main():
     for v in variants:
         remat = not v.startswith("noremat")
         donate = v != "nodonate"
-        mu_dtype = "bfloat16" if v.endswith("mubf16") else None
+        mu_dtype = "bfloat16" if "mubf16" in v else None
         # "rematblkN[_mubf16]": selective remat of the first N Cnn14 blocks
         remat_blocks = int(v.split("rematblk")[1][0]) if "rematblk" in v else 0
+        flatten = v.endswith("_flat")  # optax.flatten'd optimizer state
         print(
             f"== variant {v} (remat={remat} donate={donate} mu={mu_dtype} "
-            f"blocks={remat_blocks})",
+            f"blocks={remat_blocks} flat={flatten})",
             flush=True,
         )
         try:
             t0 = time.perf_counter()
             system, state, batch, step = build(remat, donate, mu_dtype,
-                                               remat_blocks)
+                                               remat_blocks, flatten)
             sps, state = time_steps(step, state, batch, donate)
             results[v] = {
                 "steps_per_sec": round(sps, 3),

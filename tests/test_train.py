@@ -127,6 +127,57 @@ def test_adam_mu_bf16_trains():
     assert losses[-1] < losses[0], losses
 
 
+def test_flatten_optimizer_matches_unflattened():
+    """SystemConfig(flatten_optimizer=True) ravels the param pytree for the
+    optimizer (optax.flatten) — a pure layout change shipped for HBM
+    bandwidth (the Adam update streams contiguous buffers instead of
+    hundreds of per-layer leaves).
+
+    Single-step parity only, deliberately: one step from identical params
+    produced a max param diff of 1.5e-8 (pure cross-graph ulp noise — the
+    two jitted steps are separately compiled, so even the shared loss/grad
+    subgraph fuses differently), but by the SECOND step the transformer's
+    gradient sensitivity amplifies that seed to ~1.4e-4 on individual
+    elements (~the full lr-scale Adam step) — chaotic divergence, not a
+    layout bug. Multi-step training behavior is covered by
+    test_adam_mu_bf16_trains and the convergence tests."""
+
+    def build(flatten):
+        return System(
+            small_model(),
+            AdvancedMixConsole(SR),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            SystemConfig(
+                steps_per_epoch=10, max_epochs=10, lr=1e-4,
+                flatten_optimizer=flatten,
+            ),
+        )
+
+    batch = make_batch(jax.random.PRNGKey(0))
+    sys_a, sys_b = build(False), build(True)
+    state_a = sys_a.init(jax.random.PRNGKey(1), batch)
+    state_b = sys_b.init(jax.random.PRNGKey(1), batch)
+    # the flat opt state really is flat: some optimizer leaf holds the whole
+    # ravelled param vector (mu), which no per-layer leaf is big enough for
+    n_params = sum(p.size for p in jax.tree.leaves(state_b.params))
+    assert any(l.size == n_params for l in jax.tree.leaves(state_b.opt_state))
+    step_a = sys_a.make_train_step(sys_a.effect_flags(0), donate=False)
+    step_b = sys_b.make_train_step(sys_b.effect_flags(0), donate=False)
+    state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(42))
+    state_b, m_b = step_b(state_b, batch, jax.random.PRNGKey(42))
+    # identical params in => identical loss out (loss precedes the update)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+    # one lr=1e-4 step: updates match to reduction-order rounding
+    # (measured max abs diff 1.5e-8)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_curriculum_flags():
     sys = System(
         small_model(), AdvancedMixConsole(SR), MultiResolutionSTFTLoss(),
