@@ -118,7 +118,12 @@ def test_eq_response_matches_scipy_sosfreqz():
 
     b, a = _eq_sos(SR, **p)
     sos = np.concatenate([np.asarray(b)[0], np.asarray(a)[0]], axis=-1)
-    _, h_ref = sps.sosfreqz(sos, worN=2049, whole=False)
+    # evaluate scipy on the exact rFFT grid (2 pi k / n_fft, k=0..n/2,
+    # endpoint INCLUSIVE) — integer worN would give pi*k/worN endpoint-
+    # exclusive, a mismatched grid that only slipped under the tolerance
+    # because the responses are smooth
+    grid = 2.0 * np.pi * np.arange(2049) / 4096
+    _, h_ref = sps.sosfreqz(sos, worN=grid)
     H = ops.parametric_eq_response(SR, 4096, **p)
     np.testing.assert_allclose(np.abs(np.asarray(H)[0]), np.abs(h_ref), rtol=1e-3, atol=1e-5)
 
