@@ -85,8 +85,14 @@ def save_inference_export(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    def predict(tracks, ref):
-        return model.apply(variables, tracks, ref)
+    def predict(tracks, ref, mask):
+        # mask: (1, num_tracks) True = padded slot. Key-padding masking in
+        # the controller excludes masked tokens everywhere they act as
+        # attention keys, which is numerically identical to removing them
+        # from the sequence (per-token LayerNorm/MLP, shared weights) — so
+        # a padded export matches run_diffmst's remove-gated-tracks model
+        # call exactly (tests/test_export.py::test_export_gated_roundtrip).
+        return model.apply(variables, tracks, ref, mask)
 
     def render(wins, tp, fp, mp):
         n = wins.shape[0]
@@ -102,6 +108,7 @@ def save_inference_export(
 
     t_spec = jax.ShapeDtypeStruct((1, num_tracks, analysis_len), jnp.float32)
     r_spec = jax.ShapeDtypeStruct((1, 2, analysis_len), jnp.float32)
+    m_spec = jax.ShapeDtypeStruct((1, num_tracks), jnp.bool_)
     w_spec = jax.ShapeDtypeStruct(
         (render_bs, num_tracks, analysis_len), jnp.float32
     )
@@ -116,13 +123,16 @@ def save_inference_export(
     )
 
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
-    exp_predict = _jax_export.export(jax.jit(predict), **kwargs)(t_spec, r_spec)
+    exp_predict = _jax_export.export(jax.jit(predict), **kwargs)(
+        t_spec, r_spec, m_spec
+    )
     exp_render = _jax_export.export(jax.jit(render), **kwargs)(
         w_spec, tp_spec, fp_spec, mp_spec
     )
 
     manifest = {
-        "format": "diffmst_tpu.inference_export.v1",
+        "format": "diffmst_tpu.inference_export.v2",
+        "mask_input": True,  # predict_params takes (tracks, ref, pad_mask)
         "num_tracks": num_tracks,
         "analysis_len": analysis_len,
         "render_bs": render_bs,
@@ -149,7 +159,10 @@ def load_inference_export(path: str) -> ExportedInference:
     """Restore an export directory into callables (no model code needed)."""
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
-    if manifest.get("format") != "diffmst_tpu.inference_export.v1":
+    if manifest.get("format") not in (
+        "diffmst_tpu.inference_export.v1",  # pre-mask exports still load
+        "diffmst_tpu.inference_export.v2",
+    ):
         raise ValueError(f"not an inference export: {path}")
     with open(os.path.join(path, _PREDICT), "rb") as f:
         exp_predict = _jax_export.deserialize(f.read())
@@ -177,13 +190,16 @@ def run_exported(
     run_diffmst's track ordering after gating) and the remaining rows are
     silence.
 
-    KNOWN DIVERGENCE vs run_diffmst: run_diffmst re-runs the model with the
-    gated tracks *removed* (a shorter token sequence); the exported
-    controller always sees ``num_tracks`` tokens, the trailing silent ones
-    unmasked. When any track is gated, predicted parameters for the
-    surviving tracks can therefore differ between the two paths. Exports
-    specialized to the exact track count (one per session size) avoid this
-    entirely.
+    v2 exports take a padding mask: the trailing silent slots are MASKED in
+    the controller's attention, which is numerically identical to
+    run_diffmst's remove-gated-tracks model call (key-padding masking ==
+    sequence removal for per-token LayerNorm/MLP transformers), so gated
+    songs render identically through both paths
+    (test_export_gated_roundtrip_matches_run_diffmst). Legacy v1 exports
+    (no mask input) keep the old divergence: the controller sees the silent
+    slots unmasked, and surviving tracks' parameters can differ when any
+    track is gated — re-export, or specialize the export to the exact
+    track count.
 
     Args:
       tracks: (1, n, total_len) raw mono stems, n <= manifest num_tracks.
@@ -225,9 +241,18 @@ def run_exported(
     if kept == 0:
         raise ValueError("all tracks gated out (< -80 LUFS)")
 
-    tp, fp, mp = exported.predict_params(
-        jnp.asarray(norm_analysis), jnp.asarray(analysis_ref)
-    )
+    if m.get("mask_input"):
+        pad_mask = np.zeros((1, num_tracks), bool)
+        pad_mask[0, kept:] = True  # silent filler slots: masked in attention
+        tp, fp, mp = exported.predict_params(
+            jnp.asarray(norm_analysis),
+            jnp.asarray(analysis_ref),
+            jnp.asarray(pad_mask),
+        )
+    else:  # legacy v1 export: no mask input (documented divergence above)
+        tp, fp, mp = exported.predict_params(
+            jnp.asarray(norm_analysis), jnp.asarray(analysis_ref)
+        )
 
     def render(wins):
         return exported.render_window(wins, tp, fp, mp)

@@ -199,6 +199,27 @@ def _device_tracks(tracks: np.ndarray, pad_total: int, offset: int):
     return dev
 
 
+@functools.lru_cache(maxsize=8)
+def _pcm16_trim(total: int):
+    """Jitted (2, padded_len) float mix -> (2, total) int16 PCM.
+
+    Serving emits 16-bit WAV; quantizing ON DEVICE cuts the device->host
+    transfer 4x vs float32. That transfer is pure PCIe overhead on a TPU
+    VM (~10 ms for a 60 s song) but the dominant steady-state cost through
+    a remote tunnel (logs/inference_breakdown_tpu.json), so the saving is
+    what a remote-serving deployment — not just this bench — experiences.
+    Quantization: round-half-away, clipped to the int16 range (the same
+    mapping ``scipy.io.wavfile``/``soundfile`` apply when writing PCM_16).
+    """
+
+    @jax.jit
+    def fn(mix):
+        x = jnp.round(mix[:, :total] * 32767.0)
+        return jnp.clip(x, -32768.0, 32767.0).astype(jnp.int16)
+
+    return fn
+
+
 @functools.lru_cache(maxsize=32)
 def _analysis_slicer(n_all: int, n_kept: int, analysis_len: int):
     """Jitted (tracks_dev, kept_idx, gains_kept, start) -> (1, n_kept, L).
@@ -401,6 +422,7 @@ def run_diffmst(
     key: Optional[jax.Array] = None,
     render_mode: str = "ola",
     return_device: bool = False,
+    output_format: str = "float32",
 ) -> Tuple[np.ndarray, dict, dict, dict]:
     """Full-song mix style transfer.
 
@@ -419,6 +441,11 @@ def run_diffmst(
         of transferring it to host — for pipelines that consume the mix on
         device (loss/feature evaluation); the device->host copy of a full
         song is the largest steady-state cost through a remote tunnel.
+      output_format: "float32" (default) returns the float mix like the
+        reference; "pcm16" quantizes to int16 ON DEVICE (the PCM_16 WAV
+        mapping, full-scale 32767) before the host transfer — 4x less
+        device->host traffic for serving paths that write 16-bit audio
+        anyway. Ignored when ``return_device`` is set.
 
     Returns:
       (pred_mix (1, 2, total_len), track_param_dict, fx_param_dict,
@@ -512,9 +539,13 @@ def run_diffmst(
     tp_full = np.zeros((1, n_all, tp_host.shape[-1]), np.float32)
     tp_full[0, keep] = tp_host[0]
 
+    if output_format not in ("float32", "pcm16"):
+        raise ValueError(f"bad output_format {output_format!r}")
     mix = fn(tracks_dev, jnp.asarray(gains), jnp.asarray(tp_full), fp, mp, key)
     if return_device:
         pred_mix = mix[None, :, :total]
+    elif output_format == "pcm16":
+        pred_mix = np.asarray(_pcm16_trim(total)(mix))[None]
     else:
         pred_mix = np.asarray(mix)[None, :, :total]
 

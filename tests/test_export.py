@@ -76,6 +76,47 @@ def test_export_roundtrip_matches_run_diffmst(tmp_path):
     assert np.max(np.abs(mix_exp - mix_ref)) / peak < 1e-4
 
 
+def test_export_gated_roundtrip_matches_run_diffmst(tmp_path):
+    """With a gated track, the exported path (static slots + padding mask)
+    reproduces run_diffmst (which removes gated tracks from the model call):
+    key-padding masking == sequence removal (advisor round-1 finding)."""
+    num_tracks, analysis_len = 3, 16384
+    total = analysis_len * 2
+    rng = np.random.default_rng(5)
+    tracks = np.zeros((1, num_tracks, total), np.float32)
+    tracks[0, 0] = rng.normal(size=total).astype(np.float32) * 0.1
+    # track 1 silent -> gated; track 2 kept
+    tracks[0, 2] = rng.normal(size=total).astype(np.float32) * 0.05
+    ref = (rng.normal(size=(1, 2, analysis_len)) * 0.1).astype(np.float32)
+
+    model = _tiny_model()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(tracks[:, :, :analysis_len]),
+        jnp.asarray(ref),
+        jnp.zeros((1, num_tracks), bool),
+    )
+    console = AdvancedMixConsole(SR)
+    out_dir = tmp_path / "export"
+    save_inference_export(
+        str(out_dir), model, variables, console,
+        num_tracks=num_tracks, analysis_len=analysis_len,
+    )
+    exported = load_inference_export(str(out_dir))
+    assert exported.manifest["mask_input"] is True
+    mix_exp = run_exported(exported, tracks, ref)
+
+    apply = jax.jit(
+        lambda t, r: model.apply(variables, t, r)
+    )
+    mix_ref, *_ = run_diffmst(
+        tracks, ref, apply, console, analysis_len=analysis_len
+    )
+    assert mix_exp.shape == mix_ref.shape == (1, 2, total)
+    peak = max(np.abs(mix_ref).max(), 1e-9)
+    assert np.max(np.abs(mix_exp - mix_ref)) / peak < 1e-4
+
+
 def test_export_gates_silent_tracks(tmp_path):
     """run_exported applies the -80 LUFS gate; gated slots render silence."""
     num_tracks, analysis_len = 3, 16384

@@ -68,6 +68,36 @@ def test_run_diffmst_gates_and_renders():
     assert "input_fader" in td
 
 
+def test_run_diffmst_pcm16_output():
+    """output_format='pcm16' returns int16 that is exactly the float mix
+    quantized with the PCM_16 mapping (device-side, 4x less transfer)."""
+    rng = np.random.default_rng(3)
+    total = 16384 * 3
+    tracks = (rng.normal(size=(1, 2, total)) * 0.1).astype(np.float32)
+    ref = (rng.normal(size=(1, 2, 16384)) * 0.1).astype(np.float32)
+
+    def fake_model(t, r):
+        n = t.shape[1]
+        return (jnp.full((1, n, 2), 0.5), jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+
+    console = BasicMixConsole(SR)
+    mix_f, *_ = run_diffmst(tracks, ref, fake_model, console, analysis_len=16384)
+    mix_i, *_ = run_diffmst(
+        tracks, ref, fake_model, console, analysis_len=16384,
+        output_format="pcm16",
+    )
+    assert mix_i.dtype == np.int16
+    assert mix_i.shape == (1, 2, total)
+    expect = np.clip(np.round(mix_f * 32767.0), -32768, 32767).astype(np.int16)
+    assert np.abs(mix_i.astype(np.int32) - expect.astype(np.int32)).max() <= 1
+
+    with pytest.raises(ValueError):
+        run_diffmst(
+            tracks, ref, fake_model, console, analysis_len=16384,
+            output_format="mp3",
+        )
+
+
 def test_config_instantiate_reference_yaml():
     """The reference's shipped model YAML structure loads via aliases."""
     node = yaml.safe_load(
