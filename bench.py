@@ -328,13 +328,20 @@ def run_once(time_left_s=None):
             prior = {}
 
     backend = jax.default_backend()
-    # 'auto' = the shipped default (Pallas kernel on TPU); if the kernel
-    # ever fails to compile on the running toolchain, fall back so the
-    # headline number still lands.
+    # 'fsm' first: it is the REFERENCE's compressor numerics (dasp-style
+    # frequency-sampling smoother; the full-chain golden test
+    # tests/test_golden.py::test_console_golden_full_chain pins it against
+    # the float64 torch oracle), so the headline is an apples-to-apples
+    # comparison with BASELINE — and post-EQ-fix it measures fastest on
+    # TPU (512x vs 114x for the causal scan in scripts/microbench_tpu.py,
+    # 2026-08-19; the EQ direct-evaluation fix removed the padded-FFT path
+    # that had made fsm slow). The product's rendering default ("auto")
+    # stays the exact-causal scan for quality; fall back if fsm ever
+    # fails to compile so the headline still lands.
     console_rtf = None
     smoother_used = None
     last_exc = None
-    for smoother in ("auto", "scan", "fsm"):
+    for smoother in ("fsm", "auto", "scan"):
         try:
             console_rtf = bench_console(jax, jnp, smoother=smoother)
             smoother_used = smoother
