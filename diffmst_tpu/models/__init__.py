@@ -12,6 +12,12 @@ from diffmst_tpu.models.fx_encoder import (
     ParameterProjector,
     default_fx_encoder_config,
 )
+from diffmst_tpu.models.hdemucs import (
+    HDEMUCS_SOURCES,
+    hdemucs_apply,
+    make_hdemucs_separator,
+    synthetic_hdemucs_state_dict,
+)
 from diffmst_tpu.models.mst_model import MixStyleTransferModel
 from diffmst_tpu.models.separator import UNetSeparator, hpss_separator
 from diffmst_tpu.models.transformer import TransformerEncoder, TransformerEncoderLayer
@@ -19,6 +25,10 @@ from diffmst_tpu.models.transformer import TransformerEncoder, TransformerEncode
 __all__ = [
     "hpss_separator",
     "UNetSeparator",
+    "HDEMUCS_SOURCES",
+    "hdemucs_apply",
+    "make_hdemucs_separator",
+    "synthetic_hdemucs_state_dict",
     "Cnn14",
     "ConvBlock",
     "TransformerController",

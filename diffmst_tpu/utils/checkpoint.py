@@ -29,6 +29,8 @@ __all__ = [
     "load_meta",
     "port_torch_checkpoint",
     "port_torch_state_dict",
+    "port_hdemucs_state_dict",
+    "load_hdemucs_checkpoint",
 ]
 
 
@@ -165,6 +167,61 @@ def port_torch_state_dict(
 
     batch_stats = out.pop("__batch_stats__", {})
     return {"params": out, "batch_stats": batch_stats}
+
+
+def port_hdemucs_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchaudio HDemucs ``state_dict`` -> ``models.hdemucs`` params tree.
+
+    The Flax-side forward (models/hdemucs.py::hdemucs_apply) consumes torch
+    weight LAYOUTS natively via lax dimension numbers, so this converter is
+    pure re-nesting: split dotted keys, and collect ``encoder.N`` /
+    ``tencoder.N`` / ``decoder.N`` / ``tdecoder.N`` into index-ordered lists
+    (likewise each DConv's ``layers.N``; the module positions INSIDE a DConv
+    branch stay string-keyed because Sequential indices have gaps for the
+    parameter-free GELU/GLU slots). Every input key lands in the tree; a
+    missing section raises, so a checkpoint from a different architecture
+    fails loudly instead of separating garbage.
+
+    Enables exact-parity Remixer pretraining given a real
+    HDEMUCS_HIGH_MUSDB_PLUS weights file (ref mst/modules.py:496-500):
+    ``Remixer(separator=make_hdemucs_separator(port_hdemucs_state_dict(sd)))``.
+    """
+    tree: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        _set(tree, parts, np.asarray(value))
+
+    def listify(node: Any) -> Any:
+        """Turn {'0': ..., '1': ...} dicts with CONTIGUOUS indices into
+        index-ordered lists; dicts with index gaps (DConv branch Sequentials,
+        whose GELU/GLU slots are parameter-free) stay string-keyed."""
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(v) for k, v in node.items()}
+        if out and set(out) == {str(i) for i in range(len(out))}:
+            return [out[str(i)] for i in range(len(out))]
+        return out
+
+    tree = {k: listify(v) for k, v in tree.items()}
+    for section in ("encoder", "decoder", "tencoder", "tdecoder"):
+        if section not in tree or not isinstance(tree[section], list):
+            raise ValueError(
+                f"state_dict missing HDemucs section {section!r} — not an "
+                "HDemucs checkpoint?"
+            )
+    return tree
+
+
+def load_hdemucs_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load an HDemucs weights file (a raw state_dict or a dict with
+    a ``state_dict`` entry) and port it."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in sd.items()}
+    return port_hdemucs_state_dict(sd)
 
 
 def port_torch_checkpoint(ckpt_path: str, embed_dim: int = 512) -> Dict[str, Any]:
