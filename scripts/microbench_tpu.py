@@ -37,6 +37,13 @@ def _persist(results):
         json.dump(results, f, indent=1)
 
 
+def _stamp(row):
+    """Per-row capture timestamp: every row records when it was actually
+    measured, so a partial refresh can never masquerade as a full one."""
+    row["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    return row
+
+
 
 def bench_smoothers(results):
     key = jax.random.PRNGKey(0)
@@ -75,11 +82,11 @@ def bench_smoothers(results):
             return (gx, gt)
 
         t_bwd = device_timer(fwdbwd, (x, ps["threshold_db"]), iters=10)
-        results[f"compressor_{sm}"] = {
+        results[f"compressor_{sm}"] = _stamp({
             "fwd_ms": round(t_fwd * 1e3, 3),
             "fwd_bwd_ms": round(t_bwd * 1e3, 3),
             "fwd_x_realtime": round(B * T / SR / t_fwd, 1),
-        }
+        })
         _persist(results)
         print(sm, results[f"compressor_{sm}"], flush=True)
 
@@ -115,10 +122,10 @@ def bench_console(results):
             return (g1, g2)
 
         t = device_timer(fwdbwd, (tp, mp), iters=8)
-        results[f"console_fwd_bwd_{sm}"] = {
+        results[f"console_fwd_bwd_{sm}"] = _stamp({
             "ms": round(t * 1e3, 3),
             "x_realtime": round(T / SR / t, 1),
-        }
+        })
         _persist(results)
         print("console", sm, results[f"console_fwd_bwd_{sm}"], flush=True)
 
@@ -144,22 +151,33 @@ def bench_console_16track_fx(results):
         return (g1, g2)
 
     t = device_timer(fwdbwd, (tp, fp), iters=4)
-    results["console_16track_fx_fwd_bwd"] = {
+    results["console_16track_fx_fwd_bwd"] = _stamp({
         "ms": round(t * 1e3, 3),
         "x_realtime": round(T / SR / t, 1),
-    }
+    })
     _persist(results)
     print("console 16-track+fx", results["console_16track_fx_fwd_bwd"], flush=True)
 
 
 def main():
+    """Optional argv selector: any of {smoothers, console, 16track} runs only
+    those sections, MERGING into the existing logs/microbench_tpu.json (each
+    row keeps its own captured_at, so partial refreshes stay honest)."""
+    only = set(sys.argv[1:])
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
-    results = {"backend": jax.default_backend(),
-               "shape": f"{B}x{T}",
+    results = {"backend": jax.default_backend(), "shape": f"{B}x{T}",
                "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    bench_smoothers(results)
-    bench_console(results)
-    bench_console_16track_fx(results)
+    if only and os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            prior = json.load(f)
+        prior.update(results)
+        results = prior
+    if not only or "smoothers" in only:
+        bench_smoothers(results)
+    if not only or "console" in only:
+        bench_console(results)
+    if not only or "16track" in only:
+        bench_console_16track_fx(results)
     _persist(results)
     print(json.dumps(results))
 
