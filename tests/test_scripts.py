@@ -2,6 +2,7 @@
 loss gradients flow through the full console DSP), eval CSV machinery."""
 
 import csv
+import pytest
 import sys
 import os
 
@@ -267,3 +268,46 @@ def test_gain_testing_script(tmp_path, capsys):
         sys.argv = old
     out = capsys.readouterr().out
     assert "t0.wav" in out and "dB" in out  # per-track gain lines printed
+
+
+@pytest.mark.smoke
+def test_compare_script(tmp_path):
+    """compare.py (ref scripts/compare.py:33-59): two synthetic mixes ->
+    features.csv with the five AFLoss scalars + a bark-spectrum plot; the
+    louder mix must show higher RMS and the wider mix higher stereo width."""
+    from diffmst_tpu.data import write_audio
+
+    import scripts.compare as cmp
+
+    rng = np.random.default_rng(7)
+    t = 44100
+    base = rng.normal(size=(1, t)).astype(np.float32) * 0.05
+    # a: near-mono, quiet; b: louder with decorrelated channels (wider)
+    a = np.concatenate([base, base * 0.98], axis=0)
+    b = np.concatenate(
+        [base * 4.0, rng.normal(size=(1, t)).astype(np.float32) * 0.2], axis=0
+    )
+    pa, pb = str(tmp_path / "mix_a.wav"), str(tmp_path / "mix_b.wav")
+    write_audio(pa, a, 44100)
+    write_audio(pb, b, 44100)
+
+    out_dir = cmp.main([pa, pb, "--output_dir", str(tmp_path / "out")])
+
+    csv_path = os.path.join(out_dir, "features.csv")
+    assert os.path.exists(csv_path)
+    rows = {}
+    with open(csv_path) as f:
+        for r in csv.DictReader(f):
+            rows[(r["feature"], r["mix"])] = float(r["value"])
+    assert rows[("rms_l", "b")] > rows[("rms_l", "a")]
+    assert rows[("stereo_width", "b")] > rows[("stereo_width", "a")]
+    # bark spectrum: mid-band log magnitude of b above a (b is louder)
+    feats = cmp.compare_mixes(pa, pb)
+    assert feats["b"]["barkspectrum"][:, 0].mean() > feats["a"]["barkspectrum"][:, 0].mean()
+    # plot written iff matplotlib available
+    try:
+        import matplotlib  # noqa: F401
+
+        assert os.path.exists(os.path.join(out_dir, "bark_spectrum.png"))
+    except ImportError:
+        pass
