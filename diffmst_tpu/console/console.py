@@ -280,6 +280,11 @@ class AdvancedMixConsole:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
 
+            from diffmst_tpu.parallel.mesh import assert_mesh_divisible
+
+            assert_mesh_divisible(
+                self.mesh, tracks.shape[0], tracks.shape[1], "console track chain"
+            )
             spec_x = P("dp", "mp", None)
             spec_p = jax.tree.map(lambda _: P("dp", "mp"), chain_params)
             x = shard_map(

@@ -37,7 +37,40 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "P"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "assert_mesh_divisible",
+    "P",
+]
+
+
+def assert_mesh_divisible(mesh: Mesh, batch: int, tracks: int, where: str) -> None:
+    """Clear error when (batch, tracks) can't shard over the (dp, mp) mesh.
+
+    shard_map with in_specs P("dp", "mp", ...) rejects non-divisible axes
+    with an opaque trace-time error; this names the fix instead. Tracks are
+    padded to ``max_tracks`` upstream (data/dataset.py), so the remedy is to
+    pick ``max_tracks`` a multiple of mp (pad with silent masked tracks —
+    they render to silence and are masked in the controller), and a global
+    batch a multiple of dp.
+    """
+    dp = mesh.shape.get("dp", 1)
+    mp = mesh.shape.get("mp", 1)
+    if batch % dp != 0:
+        raise ValueError(
+            f"{where}: global batch {batch} not divisible by dp={dp}; "
+            "use a batch size that is a multiple of the dp mesh axis"
+        )
+    if tracks % mp != 0:
+        raise ValueError(
+            f"{where}: track axis {tracks} not divisible by mp={mp}; "
+            "set max_tracks to a multiple of the mp mesh axis (padded "
+            "tracks are masked and render to silence, so rounding up is "
+            "behavior-neutral)"
+        )
 
 
 def make_mesh(

@@ -240,6 +240,11 @@ class System:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        from diffmst_tpu.parallel.mesh import assert_mesh_divisible
+
+        assert_mesh_divisible(
+            self.mesh, tracks_b.shape[0], tracks_b.shape[1], "mp-sharded encoders"
+        )
         model = self.model
         if train and mutable:
             enc = getattr(model.track_encoder, "bn_axis_name", None)
