@@ -84,6 +84,15 @@ class Cnn14(nn.Module):
     # recompute cost. 0 = no remat here (the model-level remat_encoders flag
     # wraps the whole encoder instead).
     remat_blocks: int = 0
+    # Opt-in fast-encoder mode (default 0 = exact reference widths): floor
+    # for every block's channel count. The reference's 64-channel block 1
+    # (panns.py:188-198) lane-pads every TPU register half-empty — the v5e
+    # vector lane dimension is 128 — so the shipped train step runs the
+    # encoder convs at ~23% of bf16 peak (PERF.md). ``min_width=128`` widens
+    # block 1 to 128 channels (2x its FLOPs at ~2x MXU efficiency; later
+    # blocks are already >=128). Changes the parameter shapes of block 1, so
+    # torch-checkpoint weight ports require the default.
+    min_width: int = 0
 
     # pool schedule per panns.py:188-198
     _POOLS = ((2, 2), (4, 4), (4, 2), (4, 2), (4, 2), (2, 2))
@@ -111,7 +120,7 @@ class Cnn14(nn.Module):
                 else ConvBlock
             )
             x = block_cls(
-                self.base_width << i,
+                max(self.base_width << i, self.min_width),
                 use_batchnorm=self.use_batchnorm,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,

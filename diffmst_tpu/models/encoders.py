@@ -35,6 +35,7 @@ class SpectrogramEncoder(nn.Module):
     spec_power: float = 0.3
     spec_eps: float = 1e-8
     cnn_base_width: int = 64
+    cnn_min_width: int = 0  # opt-in fast-encoder block-width floor (Cnn14)
     dtype: Optional[jnp.dtype] = None  # computation dtype for the CNN
     remat_blocks: int = 0  # selective remat of the first N Cnn14 blocks
 
@@ -61,6 +62,7 @@ class SpectrogramEncoder(nn.Module):
             use_batchnorm=self.encoder_batchnorm,
             bn_axis_name=self.bn_axis_name,
             base_width=self.cnn_base_width,
+            min_width=self.cnn_min_width,
             dtype=self.dtype,
             remat_blocks=self.remat_blocks,
             name="model",

@@ -101,6 +101,7 @@ class MixStyleTransferModel(nn.Module):
         sum_and_diff: bool = False,
         bn_axis_name: Optional[str] = None,
         cnn_base_width: int = 64,
+        cnn_min_width: int = 0,
         compute_dtype: Optional[str] = None,
         remat_encoders: bool = False,
         remat_blocks: int = 0,
@@ -135,6 +136,7 @@ class MixStyleTransferModel(nn.Module):
                 hop_length=hop_length,
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
+                cnn_min_width=cnn_min_width,
                 dtype=dtype,
                 remat_blocks=remat_blocks,
             ),
@@ -144,6 +146,7 @@ class MixStyleTransferModel(nn.Module):
                 hop_length=hop_length,
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
+                cnn_min_width=cnn_min_width,
                 dtype=dtype,
                 remat_blocks=remat_blocks,
             ),

@@ -64,6 +64,7 @@ def test_transformer_layer_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+@pytest.mark.smoke
 def test_controller_shapes_and_mask():
     bs, nt, d = 2, 5, 64
     ctrl = models.TransformerController(
@@ -87,6 +88,7 @@ def test_controller_shapes_and_mask():
     np.testing.assert_allclose(np.asarray(fp), np.asarray(fp2), atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_spectrogram_encoder_shape():
     enc = models.SpectrogramEncoder(embed_dim=128)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 65536))
@@ -173,6 +175,7 @@ def test_bf16_compute_close_to_f32():
     assert np.abs(np.asarray(tp32) - np.asarray(tp16)).max() < 0.05
 
 
+@pytest.mark.smoke
 def test_istft_roundtrip():
     from diffmst_tpu.ops.stft import istft, stft
 
@@ -261,3 +264,21 @@ def test_cnn14_remat_blocks_parity():
     g2 = jax.grad(loss)(v["params"], m2)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.smoke
+def test_cnn14_min_width_floor():
+    """cnn_min_width floors early block widths (opt-in fast-encoder mode,
+    VERDICT round-2 #7): block-1 kernels widen to the floor, later blocks
+    keep the doubling schedule, and the forward still runs."""
+    from diffmst_tpu.models.cnn14 import Cnn14
+
+    m = Cnn14(num_classes=8, base_width=4, min_width=8)
+    x = jnp.zeros((1, 1, 1024, 128))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    p = variables["params"]
+    assert p["conv_block1"]["conv1"]["kernel"].shape[-1] == 8   # floored (4->8)
+    assert p["conv_block2"]["conv1"]["kernel"].shape[-1] == 8   # schedule == floor
+    assert p["conv_block3"]["conv1"]["kernel"].shape[-1] == 16  # back on schedule
+    out = m.apply(variables, x)
+    assert out.shape == (1, 8)
