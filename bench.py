@@ -122,7 +122,8 @@ def bench_console(jax, jnp, smoother="auto"):
 
 
 def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False,
-                     remat_blocks=0, adam_mu_dtype=None):
+                     remat_blocks=0, adam_mu_dtype=None, num_tracks=8,
+                     use_fx_bus=False):
     """Full Method-1 train step (model+console+MRSTFT fwd+bwd+Adam), 4x8x262144.
 
     Reference recipe shape: configs/data/medley+cambridge-8.yaml:10-13. Model
@@ -130,6 +131,10 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False,
     Cnn14 encoders). Returns (steps_per_sec, realtime_factor) where realtime
     counts batch * seq_len audio-seconds per step. Falls back to bs=1 in
     main() if the full recipe batch does not fit HBM.
+
+    ``num_tracks=16, use_fx_bus=True, bs=1`` is the BASELINE stretch shape
+    (configs/data/medley+cambridge-16.yaml:12-14 with the fx chain of
+    mst/modules.py:275-313).
     """
     from diffmst_tpu.console import AdvancedMixConsole
     from diffmst_tpu.losses import MultiResolutionSTFTLoss
@@ -137,7 +142,7 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False,
     from diffmst_tpu.train import Batch, System, SystemConfig
 
     sr = 44100.0
-    num_tracks, seq_len = 8, 262144
+    seq_len = 262144
     system = System(
         MixStyleTransferModel.build(
             compute_dtype=compute_dtype,
@@ -147,7 +152,8 @@ def bench_train_step(jax, jnp, bs=4, compute_dtype=None, remat=False,
         AdvancedMixConsole(sr),
         MultiResolutionSTFTLoss(),
         SystemConfig(
-            steps_per_epoch=100, max_epochs=100, adam_mu_dtype=adam_mu_dtype
+            steps_per_epoch=100, max_epochs=100, adam_mu_dtype=adam_mu_dtype,
+            active_fx_bus_epoch=0 if use_fx_bus else 1000,
         ),
     )
     key = jax.random.PRNGKey(0)
@@ -271,11 +277,38 @@ def bench_inference(jax, jnp, song_seconds=60.0):
         smix, *_ = run_srv()
         best_srv = min(best_srv, time.perf_counter() - t0)
     assert smix.dtype == np.int16 and smix.shape[-1] == total
+
+    # Device-time realtime factor (VERDICT round-2 #4): the wall-clock
+    # numbers above swing with tunnel weather (30.5x<->50.3x across rounds,
+    # logs/inference_serving_tpu.json) — the xplane trace gives the actual
+    # on-chip busy time of one steady-state song render, the number a real
+    # TPU VM (no tunnel) would approach. Parsed like the train-step profile
+    # (utils/xplane.py); None if tracing/parsing is unavailable.
+    device_rtf = None
+    try:
+        import shutil
+        import tempfile
+
+        from diffmst_tpu.utils.xplane import top_ops_from_trace
+
+        trace_dir = tempfile.mkdtemp(prefix="bench_inf_trace_")
+        try:
+            with jax.profiler.trace(trace_dir):
+                run()
+            rows = top_ops_from_trace(trace_dir, top_n=10**6)
+            device_ms = sum(r["total_ms"] for r in rows)
+            if device_ms > 0:
+                device_rtf = song_seconds / (device_ms / 1e3)
+        finally:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+    except Exception:
+        pass
     return (
         song_seconds / best,
         song_seconds / cold,
         song_seconds / best_dev,
         song_seconds / best_srv,
+        device_rtf,
     )
 
 
@@ -386,12 +419,17 @@ def run_once(time_left_s=None):
         #     (configs/models/naive+tpu.yaml): measured fastest of
         #     {whole-encoder remat, rematblk1/2, noremat+mubf16} at the
         #     full reference batch (logs/train_step_variants.json).
-        for bs, remat, dt, mu_dt, need_s in (
-            (1, False, None, None, 600),
-            (4, False, "bfloat16", "bfloat16", 1500),
+        # The third row is the BASELINE stretch shape: batch 1 x 16 tracks
+        # with the fx bus (12-band reverb) ON at the shipped bf16 TPU recipe
+        # (configs/data/medley+cambridge-16.yaml:12-14; VERDICT round-2 #3).
+        for bs, remat, dt, mu_dt, nt, fx, need_s in (
+            (1, False, None, None, 8, False, 600),
+            (4, False, "bfloat16", "bfloat16", 8, False, 1500),
+            (1, False, "bfloat16", "bfloat16", 16, True, 1500),
         ):
             key_sfx = (
-                f"{bs}x8x262144"
+                f"{bs}x{nt}x262144"
+                + ("_fx" if fx else "")
                 + ("_remat" if remat else "")
                 + ("_bf16" if dt else "")
             )
@@ -404,7 +442,7 @@ def run_once(time_left_s=None):
             try:
                 steps_per_sec, train_rtf = bench_train_step(
                     jax, jnp, bs=bs, remat=remat, compute_dtype=dt,
-                    adam_mu_dtype=mu_dt,
+                    adam_mu_dtype=mu_dt, num_tracks=nt, use_fx_bus=fx,
                 )
                 result[keys[0]] = round(steps_per_sec, 3)
                 result[keys[1]] = round(train_rtf, 1)
@@ -426,22 +464,27 @@ def run_once(time_left_s=None):
         # realtime factor (end-to-end run_diffmst, 60 s 8-track song).
         key = "inference_realtime_factor_8track_60s"
         try:
-            rtf, cold_rtf, dev_rtf, srv_rtf = bench_inference(jax, jnp)
+            rtf, cold_rtf, dev_rtf, srv_rtf, devtime_rtf = bench_inference(
+                jax, jnp
+            )
             result[key] = round(rtf, 1)
             result["inference_cold_song_realtime_factor"] = round(cold_rtf, 1)
             result["inference_device_resident_realtime_factor"] = round(dev_rtf, 1)
             result["inference_serving_bf16_pcm16_realtime_factor"] = round(
                 srv_rtf, 1
             )
-            _stamp(
-                result,
-                [
-                    key,
-                    "inference_cold_song_realtime_factor",
-                    "inference_device_resident_realtime_factor",
-                    "inference_serving_bf16_pcm16_realtime_factor",
-                ],
-            )
+            stamped = [
+                key,
+                "inference_cold_song_realtime_factor",
+                "inference_device_resident_realtime_factor",
+                "inference_serving_bf16_pcm16_realtime_factor",
+            ]
+            if devtime_rtf is not None:
+                result["inference_device_time_realtime_factor"] = round(
+                    devtime_rtf, 1
+                )
+                stamped.append("inference_device_time_realtime_factor")
+            _stamp(result, stamped)
             _persist(result)
         except Exception as exc:
             result.pop(key, None)

@@ -208,8 +208,10 @@ def _pcm16_trim(total: int):
     VM (~10 ms for a 60 s song) but the dominant steady-state cost through
     a remote tunnel (logs/inference_breakdown_tpu.json), so the saving is
     what a remote-serving deployment — not just this bench — experiences.
-    Quantization: round-half-away, clipped to the int16 range (the same
-    mapping ``scipy.io.wavfile``/``soundfile`` apply when writing PCM_16).
+    Quantization: scale by full-scale 32767, ``jnp.round`` (round-half-to-
+    even), clip to the int16 range. Pinned by test_run_diffmst_pcm16_output;
+    writers differ in their float->PCM_16 mapping (libsndfile scales by
+    32768), so byte-parity with any particular writer is not claimed.
     """
 
     @jax.jit
@@ -442,8 +444,8 @@ def run_diffmst(
         device (loss/feature evaluation); the device->host copy of a full
         song is the largest steady-state cost through a remote tunnel.
       output_format: "float32" (default) returns the float mix like the
-        reference; "pcm16" quantizes to int16 ON DEVICE (the PCM_16 WAV
-        mapping, full-scale 32767) before the host transfer — 4x less
+        reference; "pcm16" quantizes to int16 ON DEVICE (full-scale 32767,
+        round-half-to-even — see _pcm16_trim) before the host transfer — 4x less
         device->host traffic for serving paths that write 16-bit audio
         anyway. Ignored when ``return_device`` is set.
 
@@ -451,6 +453,8 @@ def run_diffmst(
       (pred_mix (1, 2, total_len), track_param_dict, fx_param_dict,
        master_param_dict) — denormalized dicts like the reference.
     """
+    if output_format not in ("float32", "pcm16"):
+        raise ValueError(f"bad output_format {output_format!r}")
     total = tracks.shape[-1]
     n_all = tracks.shape[1]
     if total >= analysis_len:
@@ -539,8 +543,6 @@ def run_diffmst(
     tp_full = np.zeros((1, n_all, tp_host.shape[-1]), np.float32)
     tp_full[0, keep] = tp_host[0]
 
-    if output_format not in ("float32", "pcm16"):
-        raise ValueError(f"bad output_format {output_format!r}")
     mix = fn(tracks_dev, jnp.asarray(gains), jnp.asarray(tp_full), fp, mp, key)
     if return_device:
         pred_mix = mix[None, :, :total]
