@@ -38,6 +38,7 @@ def _rand_params(key, console):
     return tp, fp, mp
 
 
+@pytest.mark.smoke
 def test_param_layout_counts():
     c = AdvancedMixConsole(SR)
     assert c.num_track_control_params == 27
@@ -91,6 +92,7 @@ def test_advanced_console_nan_sweep(tracks):
         assert np.isfinite(np.asarray(mix)).all(), f"NaN at sweep {i}"
 
 
+@pytest.mark.smoke
 def test_advanced_console_toggles(tracks):
     """Disabling every effect leaves only pan+sum of the raw tracks."""
     c = AdvancedMixConsole(SR)
@@ -108,6 +110,7 @@ def test_advanced_console_toggles(tracks):
     np.testing.assert_allclose(np.asarray(out.mix), np.asarray(expect), atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_padded_tracks_stay_silent(tracks):
     """Zero-padded tracks must contribute silence through the full track chain
     except for compressor makeup gain applied to zero signal (still zero)."""
@@ -138,6 +141,7 @@ def test_console_gradient_flows_to_params(tracks):
     assert (g[active] > 0).all(), f"dead params: {np.where(g[active] == 0)}"
 
 
+@pytest.mark.smoke
 def test_validate_normalized_raises():
     with pytest.raises(ValueError):
         validate_normalized({"input_fader": {"gain_db": jnp.array([1.5])}})

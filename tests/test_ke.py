@@ -1,6 +1,7 @@
 """Knowledge-engineering mixing tests (synthetic KE dict, reference schema)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +85,7 @@ def test_ke_stereo_pair_mirrored_pan():
     assert 0.1 <= pan[0] <= 0.4
 
 
+@pytest.mark.smoke
 def test_ke_unknown_instrument_uses_default():
     console = AdvancedMixConsole(SR)
     tracks = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8192)) * 0.05

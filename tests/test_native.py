@@ -19,10 +19,12 @@ def wav_file(tmp_path_factory):
     return str(p), audio
 
 
+@pytest.mark.smoke
 def test_native_builds():
     assert native.native_available(), "g++ build of the native core failed"
 
 
+@pytest.mark.smoke
 def test_wav_info_and_read_parity(wav_file):
     path, audio = wav_file
     frames, chs, rate = native.wav_info(path)

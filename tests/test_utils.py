@@ -19,12 +19,14 @@ from diffmst_tpu.utils import (
 SR = 44100.0
 
 
+@pytest.mark.smoke
 def test_peak_normalize():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 100)) * 5)
     y = np.asarray(batch_stereo_peak_normalize(x))
     assert np.allclose(np.abs(y).max(axis=(1, 2)), 1.0, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_overlap_add_identity():
     """With an identity 'console', Hann OLA must reconstruct the signal
     (hop = win/2 Hann pairs sum to 1; first-window-half forced to 1)."""
@@ -98,6 +100,7 @@ def test_run_diffmst_pcm16_output():
         )
 
 
+@pytest.mark.smoke
 def test_config_instantiate_reference_yaml():
     """The reference's shipped model YAML structure loads via aliases."""
     node = yaml.safe_load(
@@ -318,6 +321,7 @@ def test_full_model_port_numerical():
     np.testing.assert_allclose(np.asarray(mp), tmp_.numpy(), atol=2e-4)
 
 
+@pytest.mark.smoke
 def test_plotting_helpers(tmp_path):
     """plot_spectrograms / plot_confusion_matrix produce images and save to
     disk (reference callbacks/plotting.py:15-131)."""
