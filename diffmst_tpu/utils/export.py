@@ -168,8 +168,20 @@ def load_inference_export(path: str) -> ExportedInference:
         exp_predict = _jax_export.deserialize(f.read())
     with open(os.path.join(path, _RENDER), "rb") as f:
         exp_render = _jax_export.deserialize(f.read())
+    predict_params = jax.jit(exp_predict.call)
+    if manifest.get("mask_input"):
+        # v2 graphs take (tracks, ref, pad_mask); keep the mask optional at
+        # the API surface — omitting it means "no padded slots", the common
+        # serving case where the caller filled every track.
+        raw_predict, n_tracks = predict_params, manifest["num_tracks"]
+
+        def predict_params(tracks, ref, mask=None):
+            if mask is None:
+                mask = jnp.zeros((tracks.shape[0], n_tracks), jnp.bool_)
+            return raw_predict(tracks, ref, mask)
+
     return ExportedInference(
-        predict_params=jax.jit(exp_predict.call),
+        predict_params=predict_params,
         render_window=jax.jit(exp_render.call),
         manifest=manifest,
     )
