@@ -31,7 +31,14 @@ from diffmst_tpu.models import MixStyleTransferModel
 from diffmst_tpu.train import System, SystemConfig, Trainer
 
 SR = 44100.0
-BS, NT, T = 4, 8, 262144
+# Method 2 runs the FULL 262,144-sample segment through model+console+loss
+# (no Method-1 A/B halving — system.py:322-329 mirrors ref system.py:255-263),
+# so its live-activation footprint is ~2x Method 1's: micro-batch 4 needs
+# 16.3 GB > the v5e's 15.75 GB HBM (measured XLA OOM). Micro-batch 2 with
+# 2-step gradient accumulation keeps the reference's effective batch of 4
+# (configs/data/medley+cambridge-8.yaml:11) within one chip.
+BS, NT, T = 2, 8, 262144
+ACCUM = 2
 
 
 class SyntheticUnpairedDM:
@@ -107,7 +114,7 @@ def main():
         SystemConfig(
             steps_per_epoch=steps_per_epoch, max_epochs=epochs, lr=1e-4,
             generate_mix=False, active_fx_bus_epoch=1000,
-            adam_mu_dtype="bfloat16",
+            adam_mu_dtype="bfloat16", accumulate_grad_batches=ACCUM,
         ),
     )
     device_pool = os.environ.get("DEMO_HOST_IO", "") != "1"
@@ -132,7 +139,11 @@ def main():
         "backend": jax.default_backend(),
         "method": "2 (unpaired ref + AudioFeatureLoss, generate_mix=false)",
         "shape": f"{BS}x{NT}x{T}",
-        "recipe": "bf16 compute, no remat, Adam mu bf16 + unpaired+feat.yaml loss",
+        "recipe": ("bf16 compute, Adam mu bf16, unpaired+feat.yaml loss; "
+                   "micro-batch 2 x 2-step grad accumulation = effective "
+                   "batch 4 (Method 2 runs the full segment, ~2x Method-1 "
+                   "memory; micro-batch 4 OOMs the 15.75 GB v5e HBM)"),
+        "effective_batch": BS * ACCUM,
         "batch_residency": "device" if device_pool else "host (tunnel IO included)",
         "distinct_batches": 4,
         "steps": int(state.step),
