@@ -145,7 +145,7 @@ class System:
         self.config = SystemConfig(**base)
         self.mix_fn = mix_fn
         self.mesh = mesh
-        self._train_step_cache: Dict[EffectFlags, Callable] = {}
+        self._train_step_cache: Dict[tuple, Callable] = {}
         self.optimizer = self._make_optimizer()
 
     @property
@@ -405,9 +405,16 @@ class System:
         return loss, aux
 
     def make_train_step(self, flags: EffectFlags, donate: bool = True) -> Callable:
-        """Build (and cache) the jitted train step for one curriculum stage."""
-        if flags in self._train_step_cache:
-            return self._train_step_cache[flags]
+        """Build (and cache) the jitted train step for one curriculum stage.
+
+        The cache key includes ``donate``: the fused-dispatch trainer asks
+        for a non-donating step to trace inside its lax.scan, and that must
+        not shadow (or be shadowed by) the donating step the sequential
+        loop dispatches directly.
+        """
+        cache_key = (flags, donate)
+        if cache_key in self._train_step_cache:
+            return self._train_step_cache[cache_key]
 
         def train_step(state: TrainState, batch: Batch, key: jax.Array):
             def loss_fn(params):
@@ -432,7 +439,7 @@ class System:
             return new_state, metrics
 
         fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
-        self._train_step_cache[flags] = fn
+        self._train_step_cache[cache_key] = fn
         return fn
 
     def make_eval_step(self, flags: EffectFlags) -> Callable:

@@ -96,6 +96,7 @@ class Trainer:
         profile_steps: Optional[range] = None,
         profile_dir: str = "profiles",
         ckpt_every_n_steps: Optional[int] = None,
+        fused_steps: int = 1,
     ) -> None:
         self.system = system
         self.datamodule = datamodule
@@ -111,6 +112,19 @@ class Trainer:
         # Mid-epoch "last" saves every N steps: a reference-scale epoch is
         # ~5,000 steps (>20 min on one chip) — a crash must not lose it.
         self.ckpt_every_n_steps = ckpt_every_n_steps
+        # fused_steps > 1: dispatch K train steps per device call
+        # (lax.scan over K stacked batches inside one jit). The step
+        # sequence — batch order, per-step PRNG splits, optimizer updates —
+        # is identical to K sequential dispatches; only the host/device
+        # round-trip count changes. This is the lever when dispatch latency
+        # rivals step time (remote/tunneled TPU: the 16-track demo measured
+        # ~95 ms of device time inside ~2 s of per-dispatch wall).
+        if fused_steps > 1 and mesh is not None:
+            raise NotImplementedError(
+                "fused_steps>1 with a mesh: stacking sharded batches is not "
+                "wired up; use fused dispatch on a single device"
+            )
+        self.fused_steps = max(1, int(fused_steps))
         self.history: List[Dict[str, float]] = []
 
         if mesh is not None:
@@ -142,11 +156,17 @@ class Trainer:
         best_val = float("inf")
         seconds_per_example = example.tracks.shape[-1] / 44100.0
 
+        bs = example.tracks.shape[0]
+        fused_k = self.fused_steps
         for epoch in range(start_epoch, self.max_epochs):
             flags = self.system.effect_flags(epoch)
-            step_fn = self.system.make_train_step(flags)
+            if fused_k > 1:
+                fused_fn = self._make_fused_step(flags)
+            else:
+                step_fn = self.system.make_train_step(flags)
             t_epoch = time.time()
             n_steps = 0
+            logged_blocks = saved_blocks = 0
             pending = None
             # Honest throughput: steps are dispatched asynchronously, so
             # per-step wall clocks measure only dispatch. Instead, sync at
@@ -155,24 +175,26 @@ class Trainer:
             t_sync = time.time()
             steps_since_sync = 0
 
-            for i, batch in enumerate(
-                _prefetch(dm.train_dataloader(), self._put_batch)
-            ):
-                key, k_step = jax.random.split(key)
+            batches = _prefetch(dm.train_dataloader(), self._put_batch)
+            for i, batch in enumerate(self._group_batches(batches)):
                 if self.profile_steps and i == self.profile_steps.start:
                     jax.profiler.start_trace(self.profile_dir)
-                state, metrics = step_fn(state, batch, k_step)
+                if fused_k > 1:
+                    state, key, metrics = fused_fn(state, batch, key)
+                else:
+                    key, k_step = jax.random.split(key)
+                    state, metrics = step_fn(state, batch, k_step)
                 if self.profile_steps and i == self.profile_steps.stop:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
-                n_steps += 1
-                steps_since_sync += 1
-                if (i + 1) % self.log_every_n_steps == 0:
+                n_steps += fused_k
+                steps_since_sync += fused_k
+                if n_steps // self.log_every_n_steps > logged_blocks:
+                    logged_blocks = n_steps // self.log_every_n_steps
                     host = {k: float(v) for k, v in metrics.items()}  # syncs
                     now = time.time()
                     sps = steps_since_sync / max(now - t_sync, 1e-9)
                     t_sync, steps_since_sync = now, 0
-                    bs = batch.tracks.shape[0]
                     host.update(
                         epoch=epoch,
                         steps_per_sec=sps,
@@ -182,8 +204,9 @@ class Trainer:
                     self._log("train", host)
                 if (
                     self.ckpt_every_n_steps
-                    and (i + 1) % self.ckpt_every_n_steps == 0
+                    and n_steps // self.ckpt_every_n_steps > saved_blocks
                 ):
+                    saved_blocks = n_steps // self.ckpt_every_n_steps
                     # mid-epoch save: resume restarts THIS epoch (the
                     # dataloader has no mid-stream state), optimizer and
                     # step counter carry over exactly
@@ -219,6 +242,48 @@ class Trainer:
                 },
             )
         return state
+
+    def _group_batches(self, batches: Iterator[Batch]) -> Iterator[Batch]:
+        """fused_steps==1: pass through. Otherwise stack groups of K batches
+        along a new leading axis (the lax.scan axis of the fused step)."""
+        if self.fused_steps == 1:
+            yield from batches
+            return
+        group: List[Batch] = []
+        for b in batches:
+            group.append(b)
+            if len(group) == self.fused_steps:
+                yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                group = []
+        if group:
+            raise ValueError(
+                f"epoch length not divisible by fused_steps="
+                f"{self.fused_steps}: {len(group)} batches left over — set "
+                "steps_per_epoch to a multiple of fused_steps"
+            )
+
+    def _make_fused_step(self, flags):
+        """One device dispatch = ``fused_steps`` sequential train steps.
+
+        lax.scan over the stacked-batch axis; the PRNG key is carried and
+        split per inner step exactly like the sequential loop, so the
+        (batch, key, update) sequence is identical — parity is asserted by
+        tests/test_train.py::test_fused_steps_matches_sequential. Returns
+        (state, key, last step's metrics).
+        """
+        step_fn = self.system.make_train_step(flags, donate=False)
+
+        def fused(state, batches, key):
+            def body(carry, b):
+                state, key = carry
+                key, k_step = jax.random.split(key)
+                state, metrics = step_fn(state, b, k_step)
+                return (state, key), metrics
+
+            (state, key), ms = jax.lax.scan(body, (state, key), batches)
+            return state, key, jax.tree.map(lambda m: m[-1], ms)
+
+        return jax.jit(fused, donate_argnums=(0,))
 
     def _meta(self, next_epoch: int, state: TrainState) -> Dict:
         return {

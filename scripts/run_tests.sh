@@ -33,6 +33,7 @@ declare -a NAMES=(
     "hdemucs"
     "export"
     "train (core)"
+    "train (fused dispatch)"
     "train (bf16+curriculum)"
     "train (flatten)"
     "train (dp/mp sharded)"
@@ -45,7 +46,8 @@ declare -a CMDS=(
     "tests/test_models.py tests/test_utils.py tests/test_data.py tests/test_ke.py tests/test_golden.py"
     "tests/test_hdemucs.py"
     "tests/test_export.py"
-    "tests/test_train.py -k \"not mp_sharded and not dp_sharded and not bf16 and not curriculum_staging and not flatten\""
+    "tests/test_train.py -k \"not mp_sharded and not dp_sharded and not bf16 and not curriculum_staging and not flatten and not fused_steps\""
+    "tests/test_train.py -k fused_steps"
     "tests/test_train.py -k \"bf16 or curriculum_staging\""
     "tests/test_train.py -k flatten"
     "tests/test_train.py -k \"mp_sharded or dp_sharded\""

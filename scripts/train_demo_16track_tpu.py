@@ -9,8 +9,11 @@ variable-count contract) on synthetic stems with the shipped bf16 TPU
 recipe, recording smoothed loss + sustained steps/s — the stretch-recipe
 analogue of logs/train_demo_tpu.json (VERDICT round-2 missing #3).
 
-Writes logs/train_demo_16track_tpu.json. Run from /root/repo on the TPU
-session:  python scripts/train_demo_16track_tpu.py [steps_per_epoch] [epochs]
+Writes logs/train_demo_16track_tpu.json (DEMO_FUSED_STEPS=1, the sequential
+convergence run) or logs/train_demo_16track_fused_tpu.json (default
+DEMO_FUSED_STEPS=8, the fused-dispatch throughput run). Run from /root/repo
+on the TPU session:
+  python scripts/train_demo_16track_tpu.py [steps_per_epoch] [epochs]
 """
 
 import json
@@ -99,13 +102,18 @@ def main():
         ),
     )
     device_pool = os.environ.get("DEMO_HOST_IO", "") != "1"
+    # fused dispatch: this step costs ~96 ms on-chip (xplane) but ~2 s of
+    # per-dispatch wall through the remote tunnel; 8 steps per device call
+    # amortizes that 8x and is the intended deployment mode for remote TPU.
+    fused = int(os.environ.get("DEMO_FUSED_STEPS", "8"))
     trainer = Trainer(
         system,
         Synthetic16DM(steps_per_epoch, device_pool=device_pool),
         max_epochs=epochs,
         ckpt_dir="logs/train_demo_16t_ckpt",
-        log_every_n_steps=10,
+        log_every_n_steps=max(10, fused),
         check_val_every_n_epoch=epochs + 1,
+        fused_steps=fused,
     )
     t0 = time.time()
     state = trainer.fit()
@@ -125,6 +133,7 @@ def main():
             "via the padding mask"
         ),
         "batch_residency": "device" if device_pool else "host (tunnel IO included)",
+        "fused_steps_per_dispatch": fused,
         "distinct_batches": 4,
         "steps": int(state.step),
         "wall_s": round(wall, 1),
@@ -139,7 +148,15 @@ def main():
         "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     os.makedirs("logs", exist_ok=True)
-    with open("logs/train_demo_16track_tpu.json", "w") as f:
+    # Separate artifacts: the sequential run is the convergence evidence
+    # (per-dispatch loss trail), the fused run is the throughput evidence
+    # (K steps per dispatch amortize the remote tunnel's ~2 s latency).
+    out = (
+        "logs/train_demo_16track_tpu.json"
+        if fused == 1
+        else "logs/train_demo_16track_fused_tpu.json"
+    )
+    with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

@@ -118,13 +118,17 @@ def main():
         ),
     )
     device_pool = os.environ.get("DEMO_HOST_IO", "") != "1"
+    # fused dispatch amortizes the per-dispatch tunnel latency (see the
+    # 16-track demo); 6 divides the default 300 steps_per_epoch.
+    fused = int(os.environ.get("DEMO_FUSED_STEPS", "6"))
     trainer = Trainer(
         system,
         SyntheticUnpairedDM(steps_per_epoch, device_pool=device_pool),
         max_epochs=epochs,
         ckpt_dir="logs/train_demo_m2_ckpt",
-        log_every_n_steps=10,
+        log_every_n_steps=max(10, fused),
         check_val_every_n_epoch=epochs + 1,
+        fused_steps=fused,
     )
     t0 = time.time()
     state = trainer.fit()
@@ -145,6 +149,7 @@ def main():
                    "memory; micro-batch 4 OOMs the 15.75 GB v5e HBM)"),
         "effective_batch": BS * ACCUM,
         "batch_residency": "device" if device_pool else "host (tunnel IO included)",
+        "fused_steps_per_dispatch": fused,
         "distinct_batches": 4,
         "steps": int(state.step),
         "wall_s": round(wall, 1),

@@ -656,3 +656,94 @@ def test_skip_nonfinite_updates_holds_params():
         )
     )
     assert max(diffs) > 0  # clean step actually updated
+
+
+def test_fused_steps_matches_sequential(tmp_path):
+    """fused_steps=K (K steps per device dispatch via lax.scan over stacked
+    batches) reproduces the sequential trainer exactly: same batch order,
+    same per-step PRNG splits, same optimizer updates — final parameters and
+    logged losses match. Also: a non-divisible epoch raises clearly."""
+    from diffmst_tpu.train import Trainer
+
+    class FakeDM:
+        batch_size = 1
+
+        def __init__(self, n=4):
+            self.n = n
+
+        def _iter(self, n):
+            rng = np.random.default_rng(0)
+            for _ in range(n):
+                yield (
+                    rng.normal(size=(1, NT, T)).astype(np.float32) * 0.01,
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), bool),
+                    rng.normal(size=(1, 2, T // 2)).astype(np.float32) * 0.1,
+                    ["s"],
+                )
+
+        def train_dataloader(self):
+            return self._iter(self.n)
+
+        def val_dataloader(self):
+            return self._iter(1)
+
+    def build_system():
+        return System(
+            small_model(),
+            AdvancedMixConsole(SR),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            # lr tiny: keeps both trajectories in the linear regime, so the
+            # scan-compiled executable's benign numeric drift can't be
+            # chaotically amplified (at lr=1e-4 this landscape has
+            # grad_norm ~2.6e3 and a 1e-5 step-1 drift grew to 0.3% of the
+            # step-2 loss). Mis-sequencing still shows at O(1): each batch
+            # has a different loss.
+            SystemConfig(steps_per_epoch=4, max_epochs=1, lr=1e-6),
+        )
+
+    def run(fused):
+        trainer = Trainer(
+            build_system(), FakeDM(), max_epochs=1,
+            ckpt_dir=str(tmp_path / f"ck{fused}"), log_every_n_steps=2,
+            # (log cadence 2: fused dispatches K=2 steps, logging the last
+            # inner step's metrics — the same steps the sequential run logs)
+            check_val_every_n_epoch=5, fused_steps=fused,
+        )
+        return trainer.fit(), trainer.history
+
+    state_seq, hist_seq = run(1)
+    state_fus, hist_fus = run(2)
+
+    assert int(state_fus.step) == int(state_seq.step) == 4
+    # Sequencing check: each batch has a distinct loss, so the loss trail
+    # pins batch order + per-step key splits; in the linear regime the two
+    # runs agree to drift precision.
+    losses_seq = [h["loss"] for h in hist_seq if "loss" in h]
+    losses_fus = [h["loss"] for h in hist_fus if "loss" in h]
+    # rtol 1e-3: the same forward compiled standalone vs inside the scan
+    # differs by ~2e-4 on this log-scale loss (measured); a wrong batch or
+    # key order differs at the inter-batch loss spread (~15%).
+    np.testing.assert_allclose(losses_fus, losses_seq, rtol=1e-3)
+    # atol 8e-6 = 2x the 4-step movement budget (Adam's normalized update
+    # is ~lr=1e-6 per step): near-zero elements where drift flips the
+    # update sign can differ by up to the full movement (measured max
+    # 4.3e-6 on 2/2048 elements); a genuinely different trajectory would
+    # violate broadly, not on 0.1% of elements.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=8e-6
+        ),
+        state_fus.params, state_seq.params,
+    )
+
+    with pytest.raises(ValueError, match="fused_steps"):
+        trainer = Trainer(
+            build_system(), FakeDM(n=3), max_epochs=1,
+            ckpt_dir=str(tmp_path / "ck_bad"), fused_steps=2,
+            check_val_every_n_epoch=5,
+        )
+        trainer.fit()
