@@ -6,6 +6,14 @@ from diffmst_tpu.parallel.mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    stacked_batch_sharding,
 )
 
-__all__ = ["P", "batch_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "P",
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "stacked_batch_sharding",
+]

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "stacked_batch_sharding",
     "replicated",
     "shard_batch",
     "assert_mesh_divisible",
@@ -96,6 +97,16 @@ def make_mesh(
 def batch_sharding(mesh: Mesh, ndim: int, batch_axes: int = 1) -> NamedSharding:
     """Shard the leading batch axis over dp, replicate everything else."""
     spec = ("dp",) + (None,) * (ndim - batch_axes)
+    return NamedSharding(mesh, P(*spec))
+
+
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for K stacked batches (fused multi-step dispatch).
+
+    Leading axis = the lax.scan axis (replicated — each inner step consumes
+    one whole slice), second axis = the batch axis over dp.
+    """
+    spec = (None, "dp") + (None,) * (ndim - 2)
     return NamedSharding(mesh, P(*spec))
 
 

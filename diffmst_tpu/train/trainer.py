@@ -119,11 +119,8 @@ class Trainer:
         # round-trip count changes. This is the lever when dispatch latency
         # rivals step time (remote/tunneled TPU: the 16-track demo measured
         # ~95 ms of device time inside ~2 s of per-dispatch wall).
-        if fused_steps > 1 and mesh is not None:
-            raise NotImplementedError(
-                "fused_steps>1 with a mesh: stacking sharded batches is not "
-                "wired up; use fused dispatch on a single device"
-            )
+        # With a mesh, _group_batches re-lays the stacked group so the scan
+        # axis is replicated and the batch axis stays sharded over dp.
         self.fused_steps = max(1, int(fused_steps))
         self.history: List[Dict[str, float]] = []
 
@@ -253,7 +250,20 @@ class Trainer:
         for b in batches:
             group.append(b)
             if len(group) == self.fused_steps:
-                yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                if self.mesh is not None:
+                    # jnp.stack of dp-sharded arrays leaves the output
+                    # layout to XLA's propagation; pin it so the scan axis
+                    # is replicated and the batch axis stays on dp.
+                    from diffmst_tpu.parallel import stacked_batch_sharding
+
+                    stacked = jax.tree.map(
+                        lambda x: jax.device_put(
+                            x, stacked_batch_sharding(self.mesh, x.ndim)
+                        ),
+                        stacked,
+                    )
+                yield stacked
                 group = []
         if group:
             raise ValueError(

@@ -747,3 +747,71 @@ def test_fused_steps_matches_sequential(tmp_path):
             check_val_every_n_epoch=5,
         )
         trainer.fit()
+
+
+def test_fused_steps_dp_mesh_matches_single_device(tmp_path):
+    """fused_steps=K over a dp mesh: the stacked group is re-laid so the
+    scan axis is replicated and the batch axis stays dp-sharded
+    (parallel.stacked_batch_sharding); the trajectory matches the fused
+    single-device trainer (same batches, same PRNG splits — only the batch
+    axis is distributed, and gradient all-reduce rides ICI inside the step)."""
+    from diffmst_tpu.parallel import make_mesh
+    from diffmst_tpu.train import Trainer
+
+    class FakeDM2:
+        batch_size = 2
+
+        def _iter(self, n):
+            rng = np.random.default_rng(0)
+            for _ in range(n):
+                yield (
+                    rng.normal(size=(2, NT, T)).astype(np.float32) * 0.01,
+                    np.zeros((2, NT), np.int32),
+                    np.zeros((2, NT), np.int32),
+                    np.zeros((2, NT), bool),
+                    rng.normal(size=(2, 2, T // 2)).astype(np.float32) * 0.1,
+                    ["s", "s"],
+                )
+
+        def train_dataloader(self):
+            return self._iter(2)
+
+        def val_dataloader(self):
+            return self._iter(1)
+
+    def build_system():
+        return System(
+            small_model(),
+            AdvancedMixConsole(SR),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            # tiny lr: linear regime (see test_fused_steps_matches_sequential)
+            SystemConfig(steps_per_epoch=2, max_epochs=1, lr=1e-6),
+        )
+
+    def run(mesh):
+        trainer = Trainer(
+            build_system(), FakeDM2(), max_epochs=1,
+            ckpt_dir=str(tmp_path / f"ck_mesh{mesh is not None}"),
+            log_every_n_steps=2, check_val_every_n_epoch=5,
+            fused_steps=2, mesh=mesh,
+        )
+        return trainer.fit(), trainer.history
+
+    state_one, hist_one = run(None)
+    mesh = make_mesh(dp=2, devices=jax.devices()[:2])
+    state_dp, hist_dp = run(mesh)
+
+    assert int(state_dp.step) == int(state_one.step) == 2
+    losses_one = [h["loss"] for h in hist_one if "loss" in h]
+    losses_dp = [h["loss"] for h in hist_dp if "loss" in h]
+    # dp only changes reduction order (psum over 2 shards); same budget as
+    # the single-device fused-vs-sequential comparison.
+    np.testing.assert_allclose(losses_dp, losses_one, rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=8e-6
+        ),
+        state_dp.params, state_one.params,
+    )
