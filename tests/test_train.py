@@ -815,3 +815,78 @@ def test_fused_steps_dp_mesh_matches_single_device(tmp_path):
         ),
         state_dp.params, state_one.params,
     )
+
+
+def test_fused_steps_mp_mesh_matches_single_device(tmp_path):
+    """Fused dispatch over a dp=2 x mp=2 mesh: the track-parallel shard_map
+    encoders + console chain run inside the lax.scan body, and the
+    trajectory matches the fused single-device trainer (shard_map's
+    in_specs re-scatter the scan slice's (None, dp) layout to (dp, mp)
+    inside the step, so the stacked grouping composes with mp unchanged)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: F401
+
+    from diffmst_tpu.parallel import make_mesh
+    from diffmst_tpu.train import Trainer
+
+    bs, nt = 2, 2
+
+    class FakeDM3:
+        batch_size = bs
+
+        def _iter(self, n):
+            rng = np.random.default_rng(0)
+            for _ in range(n):
+                yield (
+                    rng.normal(size=(bs, nt, T)).astype(np.float32) * 0.01,
+                    np.zeros((bs, nt), np.int32),
+                    np.zeros((bs, nt), np.int32),
+                    np.zeros((bs, nt), bool),
+                    rng.normal(size=(bs, 2, T // 2)).astype(np.float32) * 0.1,
+                    ["s"] * bs,
+                )
+
+        def train_dataloader(self):
+            return self._iter(2)
+
+        def val_dataloader(self):
+            return self._iter(1)
+
+    def build_system(mesh_or_none, bn_axis):
+        model = MixStyleTransferModel.build(
+            embed_dim=64, num_layers=1, nhead=4, n_fft=2048, hop_length=128,
+            cnn_base_width=8, bn_axis_name=bn_axis,
+        )
+        return System(
+            model,
+            AdvancedMixConsole(SR, mesh=mesh_or_none),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            # tiny lr: linear regime (see test_fused_steps_matches_sequential)
+            SystemConfig(steps_per_epoch=2, max_epochs=1, lr=1e-6),
+            mesh=mesh_or_none,
+        )
+
+    def run(mesh, bn_axis):
+        trainer = Trainer(
+            build_system(mesh, bn_axis), FakeDM3(), max_epochs=1,
+            ckpt_dir=str(tmp_path / f"ck_mp{mesh is not None}"),
+            log_every_n_steps=2, check_val_every_n_epoch=5,
+            fused_steps=2, mesh=mesh,
+        )
+        return trainer.fit(), trainer.history
+
+    state_one, hist_one = run(None, None)
+    mesh = make_mesh(dp=2, mp=2, devices=jax.devices()[:4])
+    state_mp, hist_mp = run(mesh, ("dp", "mp"))
+
+    assert int(state_mp.step) == int(state_one.step) == 2
+    losses_one = [h["loss"] for h in hist_one if "loss" in h]
+    losses_mp = [h["loss"] for h in hist_mp if "loss" in h]
+    np.testing.assert_allclose(losses_mp, losses_one, rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=8e-6
+        ),
+        state_mp.params, state_one.params,
+    )
