@@ -451,6 +451,9 @@ def hdemucs_apply(
     mag = _cac_magnitude(z)  # (B, 4, nfft//2, Fr)
 
     x = mag
+    # torch .std() is ddof=1 vs jnp's ddof=0 — over the 2C*Fq*T elements
+    # reduced here the relative difference is ~1/(2N) (~1e-7 for one second
+    # of audio), far below the 1e-5 epsilon; kept biased for simplicity.
     mean = x.mean(axis=(1, 2, 3), keepdims=True)
     std = x.std(axis=(1, 2, 3), keepdims=True)
     x = (x - mean) / (_EPS_NORM + std)
