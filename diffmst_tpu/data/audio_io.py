@@ -17,11 +17,53 @@ from typing import Optional, Tuple
 import numpy as np
 from scipy.io import wavfile
 
-__all__ = ["audio_info", "read_audio", "write_audio"]
+__all__ = ["audio_info", "read_audio", "write_audio", "UnsupportedAudioFormat"]
+
+
+class UnsupportedAudioFormat(ValueError):
+    """A recognizable compressed/non-WAV audio file reached the WAV decoder."""
+
+
+# Magic bytes of formats the reference's soundfile backend reads but this
+# WAV-only pipeline does not (dataloader.py:205 decodes FLAC/OGG too).
+_COMPRESSED_MAGICS = (
+    (0, b"fLaC", "FLAC"),
+    (0, b"OggS", "OGG"),
+    (0, b"ID3", "MP3"),
+    (4, b"ftyp", "MP4/M4A"),
+)
+
+
+def _reject_compressed(path: str) -> None:
+    """Fail loudly (not a silent skip) when a compressed file hits the decoder.
+
+    The decode contract here is WAV-only; the offline preprocessor converts
+    everything else. Raising a named error with the remedy beats the scipy
+    ValueError the dataset's skip-unreadable path would otherwise swallow.
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+    except OSError:
+        return  # let the real decoder produce the I/O error
+    for off, magic, name in _COMPRESSED_MAGICS:
+        if head[off : off + len(magic)] == magic:
+            raise UnsupportedAudioFormat(
+                f"{path!r} is a {name} file; this pipeline decodes WAV only. "
+                "Convert your dataset first with `python scripts/datasets.py` "
+                "(offline stereo-split/resample/transcode, mirroring the "
+                "reference's scripts/datasets.py preprocessing)."
+            )
+    if len(head) >= 3 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0 and head[:4] != b"RIFF"[:4]:
+        raise UnsupportedAudioFormat(
+            f"{path!r} looks like an MPEG audio stream; this pipeline decodes "
+            "WAV only. Convert your dataset first with `python scripts/datasets.py`."
+        )
 
 
 def audio_info(path: str) -> Tuple[int, int, int]:
     """Return (num_frames, num_channels, sample_rate) without decoding."""
+    _reject_compressed(path)
     with wave.open(path, "rb") as f:
         return f.getnframes(), f.getnchannels(), f.getframerate()
 
@@ -42,7 +84,10 @@ def read_audio(
 
     Uses a memory map so random-offset reads of long stems do not decode the
     whole file. Integer PCM is scaled to [-1, 1); float PCM passes through.
+    Compressed formats (FLAC/OGG/MP3/MP4) raise :class:`UnsupportedAudioFormat`
+    naming the offline-preprocessing remedy instead of a generic scipy error.
     """
+    _reject_compressed(path)
     sr, data = wavfile.read(path, mmap=True)
     if data.ndim == 1:
         data = data[:, None]

@@ -33,7 +33,7 @@ import numpy as np
 import yaml
 
 from diffmst_tpu.data import native as _native
-from diffmst_tpu.data.audio_io import audio_info, read_audio
+from diffmst_tpu.data.audio_io import UnsupportedAudioFormat, audio_info, read_audio
 from diffmst_tpu.ops.loudness import integrated_loudness
 
 __all__ = ["TrackExample", "MultitrackDataset", "MixDataset", "MixDataModule", "MultitrackDataModule"]
@@ -246,6 +246,8 @@ class MultitrackDataset:
             off = int(self.rng.integers(lo, hi)) if hi > lo else lo
             try:
                 audio, _ = read_audio(p, start=off, frames=self.length)
+            except UnsupportedAudioFormat:
+                raise  # decode contract: fail loudly, remedy in the message
             except (OSError, ValueError):
                 continue
             lufs = integrated_loudness(audio.T, 44100.0)
@@ -349,6 +351,8 @@ class MixDataset:
                     continue
                 off = int(self.rng.integers(0, frames - self.length + 1))
                 audio, _ = read_audio(p, start=off, frames=self.length)
+            except UnsupportedAudioFormat:
+                raise  # decode contract: fail loudly, remedy in the message
             except (OSError, ValueError):
                 continue
             lufs = integrated_loudness(audio.T, 44100.0)

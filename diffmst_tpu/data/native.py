@@ -17,6 +17,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from diffmst_tpu.data.audio_io import UnsupportedAudioFormat
+
 __all__ = ["native_available", "wav_info", "wav_read", "integrated_loudness",
            "load_normalized", "load_normalized_batch"]
 
@@ -157,7 +159,9 @@ def load_normalized(
     if lib is not None:
         try:
             n_frames, chs, rate = wav_info(path)
-        except (OSError, EOFError, Exception):
+        except UnsupportedAudioFormat:
+            raise  # decode contract: fail loudly with the remedy
+        except Exception:
             return None, float("-inf"), 0
         if start + frames > n_frames:
             return None, float("-inf"), 0
@@ -176,6 +180,8 @@ def load_normalized(
 
     try:
         audio, rate = read_audio(path, start, frames)
+    except UnsupportedAudioFormat:
+        raise
     except (OSError, ValueError):
         return None, float("-inf"), 0
     lufs = py_loudness(audio.T, rate)
@@ -208,6 +214,8 @@ def load_normalized_batch(
     for p in paths:
         try:
             infos.append(wav_info(p))
+        except UnsupportedAudioFormat:
+            raise
         except Exception:
             infos.append(None)
     valid = [

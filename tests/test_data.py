@@ -280,3 +280,46 @@ def test_mix_glob_discovery(dataset_dir):
     assert len(ds.paths) > 4  # found the synthesized wavs
     x = ds[0]
     assert x.shape == (2, LEN) or x.shape[0] in (1, 2)
+
+
+@pytest.mark.smoke
+def test_compressed_formats_fail_loudly(tmp_path):
+    """Decode contract: FLAC/OGG/MP3 raise a named error with the remedy,
+    not a silent unreadable-file skip (reference reads these via soundfile,
+    dataloader.py:205 — here the offline preprocessor owns transcoding)."""
+    from diffmst_tpu.data.audio_io import UnsupportedAudioFormat
+
+    cases = {
+        "a.flac": b"fLaC\x00\x00\x00\x22" + b"\x00" * 64,
+        "b.ogg": b"OggS\x00\x02" + b"\x00" * 64,
+        "c.mp3": b"ID3\x04\x00" + b"\x00" * 64,
+        "d.m4a": b"\x00\x00\x00\x20ftypM4A " + b"\x00" * 64,
+    }
+    for name, payload in cases.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        with pytest.raises(UnsupportedAudioFormat, match="scripts/datasets.py"):
+            audio_info(str(p))
+        with pytest.raises(UnsupportedAudioFormat, match="WAV only"):
+            read_audio(str(p))
+    # the error must propagate out of the buffered dataset load, not be
+    # swallowed by its skip-unreadable path
+    song = tmp_path / "song"
+    song.mkdir()
+    (song / "gtr.flac").write_bytes(cases["a.flac"])
+    meta = tmp_path / "meta.yaml"
+    meta.write_text(yaml.safe_dump({"train": {"song": {"gtr.flac": "electric guitar"}}}))
+    ds = MultitrackDataset(
+        track_root_dirs=[str(tmp_path)],
+        metadata_files=[str(meta)],
+        mix_root_dirs=[],
+        mix_metadata_files=[],
+        length=LEN,
+        min_tracks=1,
+        max_tracks=4,
+        buffer_size_gb=0.001,
+        num_examples_per_epoch=2,
+        subset="train",
+    )
+    with pytest.raises(UnsupportedAudioFormat):
+        ds.reload_track_buffer()
