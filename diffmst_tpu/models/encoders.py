@@ -36,6 +36,7 @@ class SpectrogramEncoder(nn.Module):
     spec_eps: float = 1e-8
     cnn_base_width: int = 64
     cnn_min_width: int = 0  # opt-in fast-encoder block-width floor (Cnn14)
+    crop_nyquist: bool = False  # opt-in: drop the Nyquist bin (1025 -> 1024)
     dtype: Optional[jnp.dtype] = None  # computation dtype for the CNN
     remat_blocks: int = 0  # selective remat of the first N Cnn14 blocks
 
@@ -45,6 +46,15 @@ class SpectrogramEncoder(nn.Module):
         bs, chs, seq_len = x.shape
         flat = x.reshape(bs * chs, seq_len)
         X = _stft_fn(flat, self.n_fft, self.hop_length)  # (bs*chs, bins, frames)
+        if self.crop_nyquist:
+            # opt-in deviation: drop the single Nyquist bin so the bin axis
+            # is 1024 (a power of two) instead of 1025 — removes the 2x
+            # sublane pad XLA applies to Cnn14 block 1's activations at the
+            # flagship shape. Cnn14's pooled shapes are identical either way
+            # (1025 and 1024 floor-divide to the same schedule), so ported
+            # torch weights still load; outputs deviate only by the missing
+            # Nyquist energy. Default OFF for exact reference parity.
+            X = X[..., : (self.n_fft // 2), :]
         mag = jnp.power(jnp.abs(X) + self.spec_eps, self.spec_power)
         mag = mag.reshape(bs, chs, mag.shape[-2], mag.shape[-1])
         if self.input_batchnorm:

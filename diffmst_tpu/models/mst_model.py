@@ -102,6 +102,7 @@ class MixStyleTransferModel(nn.Module):
         bn_axis_name: Optional[str] = None,
         cnn_base_width: int = 64,
         cnn_min_width: int = 0,
+        crop_nyquist_bin: bool = False,
         compute_dtype: Optional[str] = None,
         remat_encoders: bool = False,
         remat_blocks: int = 0,
@@ -137,6 +138,7 @@ class MixStyleTransferModel(nn.Module):
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
                 cnn_min_width=cnn_min_width,
+                crop_nyquist=crop_nyquist_bin,
                 dtype=dtype,
                 remat_blocks=remat_blocks,
             ),
@@ -147,6 +149,7 @@ class MixStyleTransferModel(nn.Module):
                 bn_axis_name=bn_axis_name,
                 cnn_base_width=cnn_base_width,
                 cnn_min_width=cnn_min_width,
+                crop_nyquist=crop_nyquist_bin,
                 dtype=dtype,
                 remat_blocks=remat_blocks,
             ),

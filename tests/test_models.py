@@ -98,6 +98,32 @@ def test_spectrogram_encoder_shape():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_spectrogram_encoder_crop_nyquist():
+    """crop_nyquist drops one bin (1025 -> 1024) without changing the param
+    tree: the SAME weights apply to both modes (ported torch checkpoints keep
+    loading) and outputs stay close (only Nyquist-bin energy is dropped)."""
+    enc = models.SpectrogramEncoder(embed_dim=64, cnn_base_width=8)
+    enc_crop = models.SpectrogramEncoder(
+        embed_dim=64, cnn_base_width=8, crop_nyquist=True
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 65536)) * 0.1
+    vars_ = enc.init(jax.random.PRNGKey(1), x)
+    # identical parameter structure/shapes
+    s1 = jax.tree.map(lambda a: a.shape, vars_)
+    s2 = jax.tree.map(
+        lambda a: a.shape, enc_crop.init(jax.random.PRNGKey(1), x)
+    )
+    assert s1 == s2
+    y = enc.apply(vars_, x)
+    y2 = enc_crop.apply(vars_, x)  # same weights, cropped spectrogram
+    assert y2.shape == y.shape
+    assert np.isfinite(np.asarray(y2)).all()
+    # the Nyquist bin carries a sliver of broadband-noise energy; embeddings
+    # must stay close but need not match exactly
+    denom = max(1e-6, float(jnp.abs(y).max()))
+    assert float(jnp.abs(y - y2).max()) / denom < 0.05
+
+
 def test_mst_model_end_to_end_small():
     model = models.MixStyleTransferModel.build(
         embed_dim=64, num_layers=2, nhead=4
