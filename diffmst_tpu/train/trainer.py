@@ -97,6 +97,8 @@ class Trainer:
         profile_dir: str = "profiles",
         ckpt_every_n_steps: Optional[int] = None,
         fused_steps: int = 1,
+        deterministic_val: bool = False,
+        enable_checkpointing: bool = True,
     ) -> None:
         self.system = system
         self.datamodule = datamodule
@@ -122,6 +124,21 @@ class Trainer:
         # With a mesh, _group_batches re-lays the stacked group so the scan
         # axis is replicated and the batch axis stays sharded over dp.
         self.fused_steps = max(1, int(fused_steps))
+        # deterministic_val: derive the per-batch validation PRNG key from
+        # (seed, batch index) instead of the advancing training key, so every
+        # validation pass draws the SAME reference-mix parameters. Method-1
+        # val loss is otherwise a fresh random task per pass (the reference
+        # inherits this through torch's advancing global RNG,
+        # /root/reference/mst/system.py:221-263), which makes epoch-over-epoch
+        # val curves — and therefore best-checkpoint selection — noise-bound.
+        # Off by default for reference parity.
+        self.deterministic_val = deterministic_val
+        # Lightning's Trainer(enable_checkpointing=...) equivalent
+        # (/root/reference/configs/config.yaml:4-46). False skips the
+        # per-epoch "last"/"best" orbax saves: on a remote-tunneled device a
+        # full-state fetch is minutes per epoch, which a throughput demo or
+        # sweep must not pay.
+        self.enable_checkpointing = enable_checkpointing
         self.history: List[Dict[str, float]] = []
 
         if mesh is not None:
@@ -200,7 +217,8 @@ class Trainer:
                     self.history.append(host)
                     self._log("train", host)
                 if (
-                    self.ckpt_every_n_steps
+                    self.enable_checkpointing
+                    and self.ckpt_every_n_steps
                     and n_steps // self.ckpt_every_n_steps > saved_blocks
                 ):
                     saved_blocks = n_steps // self.ckpt_every_n_steps
@@ -221,8 +239,11 @@ class Trainer:
                 val_metrics = self._run_validation(state, flags, k_val, epoch)
 
             # ----------------------------------------------------- ckpt
-            self._save_last(state, next_epoch=epoch + 1)
-            if val_metrics.get("loss", float("inf")) < best_val:
+            if self.enable_checkpointing:
+                self._save_last(state, next_epoch=epoch + 1)
+            if self.enable_checkpointing and val_metrics.get(
+                "loss", float("inf")
+            ) < best_val:
                 best_val = val_metrics["loss"]
                 save_state(
                     os.path.join(self.ckpt_dir, "best"), state,
@@ -330,8 +351,12 @@ class Trainer:
         audio = None
         if dataloader is None:
             dataloader = self.datamodule.val_dataloader()
-        for batch in _prefetch(dataloader, self._put_batch):
-            key, k_step = jax.random.split(key)
+        val_base = jax.random.PRNGKey(self.seed + 1)
+        for i, batch in enumerate(_prefetch(dataloader, self._put_batch)):
+            if self.deterministic_val:
+                k_step = jax.random.fold_in(val_base, i)
+            else:
+                key, k_step = jax.random.split(key)
             metrics, audio = eval_fn(state, batch, k_step)
             for k, v in metrics.items():
                 agg[k].append(float(v))

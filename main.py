@@ -87,6 +87,11 @@ def build_from_config(cfg: dict):
         mesh=mesh,
         seed=cfg.get("seed_everything", 42),
         ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 500),
+        fused_steps=trainer_cfg.get("fused_steps", 1),
+        # Lightning's Trainer(enable_checkpointing=...) passthrough
+        # (/root/reference/configs/config.yaml trainer section)
+        enable_checkpointing=trainer_cfg.get("enable_checkpointing", True),
+        deterministic_val=trainer_cfg.get("deterministic_val", False),
     )
     return system, datamodule, trainer
 

@@ -20,7 +20,10 @@ cd "$(dirname "$0")/.."
 # start and can block indefinitely when the tunnel is busy or wedged.
 # This also makes the suite safe to run alongside a TPU process.
 PYTEST="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest -q -p no:cacheprovider"
-CHUNK_TIMEOUT="${CHUNK_TIMEOUT:-1500}"
+# 2400 s: the slowest chunk (fused dispatch, ~860 s clean) has been seen
+# at >1500 s when a TPU bench shares the host; the margin keeps the gate
+# honest under load instead of reporting rc=124 for a passing chunk.
+CHUNK_TIMEOUT="${CHUNK_TIMEOUT:-2400}"
 
 if [[ "${1:-}" == "--smoke" ]]; then
     timeout "$CHUNK_TIMEOUT" $PYTEST tests/ -m smoke

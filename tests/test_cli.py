@@ -289,6 +289,29 @@ def test_cli_mesh_wiring(tmp_path, dataset_dir):  # noqa: F811
     assert int(state.step) == 1
 
 
+def test_cli_trainer_flag_passthrough(tmp_path, dataset_dir):  # noqa: F811
+    """trainer.{enable_checkpointing,deterministic_val,fused_steps} in the
+    YAML reach the Trainer (Lightning's Trainer(enable_checkpointing=...)
+    equivalent, /root/reference/configs/config.yaml trainer section)."""
+    root, meta, mix_meta = dataset_dir
+    import main as cli
+    import yaml as _yaml
+    from diffmst_tpu.utils.config import load_config
+
+    cfg_path = _write_cfg(tmp_path, root, meta, mix_meta)
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["trainer"]["enable_checkpointing"] = False
+    cfg["trainer"]["deterministic_val"] = True
+    cfg["trainer"]["fused_steps"] = 2
+    cfg_path2 = tmp_path / "cfg_flags.yaml"
+    cfg_path2.write_text(_yaml.safe_dump(cfg))
+
+    _, _, trainer = cli.build_from_config(load_config([str(cfg_path2)]))
+    assert trainer.enable_checkpointing is False
+    assert trainer.deterministic_val is True
+    assert trainer.fused_steps == 2
+
+
 @pytest.mark.smoke
 def test_csvlogger_stays_aligned(tmp_path):
     """New keys in later rows widen the header instead of shifting columns

@@ -537,6 +537,114 @@ def test_trainer_curriculum_staging(tmp_path, capsys):
     assert any(h.get("epoch") == 1 for h in trainer.history)
 
 
+def test_enable_checkpointing_false_writes_nothing(tmp_path):
+    """Lightning's enable_checkpointing=False equivalent: the fit loop skips
+    the per-epoch last/best orbax saves (a full-state fetch is minutes per
+    epoch on a remote-tunneled device) and the ckpt dir is never created."""
+    import os
+
+    from diffmst_tpu.train import Trainer
+
+    class DM:
+        batch_size = 1
+
+        def _iter(self, n):
+            rng = np.random.default_rng(0)
+            for _ in range(n):
+                yield (
+                    rng.normal(size=(1, NT, T)).astype(np.float32) * 0.01,
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), bool),
+                    rng.normal(size=(1, 2, T // 2)).astype(np.float32) * 0.1,
+                    ["s"],
+                )
+
+        def train_dataloader(self):
+            return self._iter(2)
+
+        def val_dataloader(self):
+            return self._iter(1)
+
+    system = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+        ),
+        SystemConfig(steps_per_epoch=2, max_epochs=1, lr=1e-4),
+    )
+    ck = tmp_path / "ck"
+    trainer = Trainer(
+        system, DM(), max_epochs=1, ckpt_dir=str(ck),
+        enable_checkpointing=False, ckpt_every_n_steps=1,
+    )
+    state = trainer.fit()
+    assert int(state.step) == 2
+    assert not os.path.exists(ck)
+
+
+def test_deterministic_val_repeats_exactly(tmp_path):
+    """deterministic_val=True: validation draws the SAME reference-mix
+    parameters every pass (keys derive from (seed, batch index), not the
+    advancing train key), so val losses are comparable across epochs and
+    best-checkpoint selection is meaningful. Default (False) preserves the
+    reference's fresh-draw behavior (/root/reference/mst/system.py:221-263
+    through torch's advancing global RNG)."""
+    from diffmst_tpu.train import Trainer
+
+    class FixedDM:
+        batch_size = 1
+
+        def _iter(self):
+            rng = np.random.default_rng(7)
+            for _ in range(2):
+                yield (
+                    rng.normal(size=(1, NT, T)).astype(np.float32) * 0.01,
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), np.int32),
+                    np.zeros((1, NT), bool),
+                    rng.normal(size=(1, 2, T // 2)).astype(np.float32) * 0.1,
+                    ["s"],
+                )
+
+        def train_dataloader(self):
+            return self._iter()
+
+        def val_dataloader(self):
+            return self._iter()
+
+    system = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+        ),
+        SystemConfig(steps_per_epoch=2, max_epochs=1, lr=1e-4),
+    )
+    dm = FixedDM()
+    trainer = Trainer(
+        system, dm, max_epochs=1, ckpt_dir=str(tmp_path / "ck"),
+        deterministic_val=True,
+    )
+    state = system.init(jax.random.PRNGKey(1), next(
+        iter([Batch(*[jnp.asarray(x) for x in b[:5]]) for b in dm.val_dataloader()])
+    ))
+    flags = system.effect_flags(0)
+    # two passes with DIFFERENT incoming keys -> identical val loss
+    v1 = trainer._run_validation(state, flags, jax.random.PRNGKey(3), 0)
+    v2 = trainer._run_validation(state, flags, jax.random.PRNGKey(99), 0)
+    assert v1["loss"] == v2["loss"]
+
+    trainer_nd = Trainer(
+        system, dm, max_epochs=1, ckpt_dir=str(tmp_path / "ck2"),
+        deterministic_val=False,
+    )
+    v3 = trainer_nd._run_validation(state, flags, jax.random.PRNGKey(3), 0)
+    v4 = trainer_nd._run_validation(state, flags, jax.random.PRNGKey(99), 0)
+    assert v3["loss"] != v4["loss"]  # fresh ref-mix draws per pass
+
+
 def test_midepoch_checkpoint_and_resume(tmp_path):
     """A crash mid-epoch loses at most ckpt_every_n_steps steps: the periodic
     'last' save carries a meta sidecar (next_epoch, step, steps_per_epoch)
