@@ -443,6 +443,18 @@ class System:
         return fn
 
     def make_eval_step(self, flags: EffectFlags) -> Callable:
+        """Build (and cache) the jitted eval step for one curriculum stage.
+
+        Cached for the same reason as :meth:`make_train_step` — a fresh
+        ``jax.jit`` closure per validation pass is a new entry in JAX's
+        trace cache, so every per-epoch probe/val pass would pay a retrace
+        (and, on a remote backend, a compile-cache round trip measured in
+        minutes through the dev tunnel).
+        """
+        cache_key = ("eval", flags)
+        if cache_key in self._train_step_cache:
+            return self._train_step_cache[cache_key]
+
         def eval_step(state: TrainState, batch: Batch, key: jax.Array):
             _, aux = self._common(
                 state.params, state.batch_stats, batch, key, flags, train=False
@@ -457,4 +469,6 @@ class System:
                 "pred_params": aux["pred_params"],
             }
 
-        return jax.jit(eval_step)
+        fn = jax.jit(eval_step)
+        self._train_step_cache[cache_key] = fn
+        return fn

@@ -20,6 +20,7 @@ TPU-native: a plain Python loop around the System's jitted steps.
 from __future__ import annotations
 
 import collections
+import itertools
 import os
 import queue
 import threading
@@ -99,6 +100,7 @@ class Trainer:
         fused_steps: int = 1,
         deterministic_val: bool = False,
         enable_checkpointing: bool = True,
+        num_sanity_val_steps: int = 0,
     ) -> None:
         self.system = system
         self.datamodule = datamodule
@@ -139,6 +141,15 @@ class Trainer:
         # full-state fetch is minutes per epoch, which a throughput demo or
         # sweep must not pay.
         self.enable_checkpointing = enable_checkpointing
+        # Lightning's num_sanity_val_steps (the reference pins it to 2,
+        # /root/reference/configs/config.yaml:44): run N val batches BEFORE
+        # the first training epoch so a broken val loop fails in seconds,
+        # not after a 20-min epoch. Logged under the "sanity" tag; not fed
+        # to best-checkpoint selection or validation-end callbacks
+        # (Lightning likewise suppresses logging during the sanity check).
+        # Library default 0 (no hidden eval compile in programmatic runs);
+        # the CLI applies Lightning's default of 2 (main.py).
+        self.num_sanity_val_steps = int(num_sanity_val_steps)
         self.history: List[Dict[str, float]] = []
 
         if mesh is not None:
@@ -166,6 +177,14 @@ class Trainer:
         else:
             start_epoch = 0
         state = self._put_state(state)
+
+        if self.num_sanity_val_steps:
+            key, k_sanity = jax.random.split(key)
+            self._run_validation(
+                state, self.system.effect_flags(start_epoch), k_sanity,
+                epoch=start_epoch, tag="sanity",
+                limit_batches=self.num_sanity_val_steps,
+            )
 
         best_val = float("inf")
         seconds_per_example = example.tracks.shape[-1] / 44100.0
@@ -343,14 +362,18 @@ class Trainer:
     def _run_validation(
         self, state: TrainState, flags, key, epoch: int,
         dataloader=None, tag: str = "val",
+        limit_batches: Optional[int] = None,
     ) -> Dict[str, float]:
-        """One full pass over an eval dataloader (val by default);
-        logs + callbacks."""
+        """One pass over an eval dataloader (val by default); logs +
+        callbacks. ``limit_batches`` truncates the pass (Lightning's sanity
+        check runs only ``num_sanity_val_steps`` batches)."""
         eval_fn = self.system.make_eval_step(flags)
         agg: Dict[str, list] = collections.defaultdict(list)
         audio = None
         if dataloader is None:
             dataloader = self.datamodule.val_dataloader()
+        if limit_batches is not None:
+            dataloader = itertools.islice(dataloader, limit_batches)
         val_base = jax.random.PRNGKey(self.seed + 1)
         for i, batch in enumerate(_prefetch(dataloader, self._put_batch)):
             if self.deterministic_val:
@@ -362,9 +385,10 @@ class Trainer:
                 agg[k].append(float(v))
         val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
         self._log(tag, {**val_metrics, "epoch": epoch})
-        for cb in self.callbacks:
-            if hasattr(cb, "on_validation_end") and audio is not None:
-                cb.on_validation_end(epoch, state, audio, val_metrics)
+        if tag == "val":  # Lightning suppresses user hooks during sanity
+            for cb in self.callbacks:
+                if hasattr(cb, "on_validation_end") and audio is not None:
+                    cb.on_validation_end(epoch, state, audio, val_metrics)
         return val_metrics
 
     def _eval_pass(

@@ -92,6 +92,9 @@ def build_from_config(cfg: dict):
         # (/root/reference/configs/config.yaml trainer section)
         enable_checkpointing=trainer_cfg.get("enable_checkpointing", True),
         deterministic_val=trainer_cfg.get("deterministic_val", False),
+        # Lightning's pre-fit sanity check; the reference pins 2
+        # (/root/reference/configs/config.yaml:44)
+        num_sanity_val_steps=trainer_cfg.get("num_sanity_val_steps", 2),
     )
     return system, datamodule, trainer
 

@@ -220,6 +220,14 @@ def main():
     baseline = _probe_baseline(dm, console, loss_fn, dm.n_probe)
     print(f"[probe] equal-gain-sum baseline loss = {baseline:.4f}", flush=True)
 
+    # Untrained anchor: validate() inits from the SAME PRNGKey(seed) that
+    # fit() uses (identical params) and runs the probe set before any
+    # gradient step — so the probe curve starts at the untrained model and
+    # the epoch-0 drop is attributable to learning, not noise. Also warms
+    # the eval-graph compile cache for the per-epoch probes.
+    untrained = trainer.validate()["loss"]
+    print(f"[probe] untrained model loss = {untrained:.4f}", flush=True)
+
     t0 = time.time()
     state = trainer.fit()
     wall = time.time() - t0
@@ -248,10 +256,12 @@ def main():
         "probe": {
             "what": (
                 f"{dm.n_probe} held-out fixed stem batches, deterministic "
-                "ref-mix draws per pass (deterministic_val)"
+                "ref-mix draws per pass (deterministic_val); first entry "
+                "of curve = untrained model (pre-fit validate())"
             ),
             "equal_gain_sum_baseline": round(baseline, 4),
-            "per_epoch_loss": [round(x, 4) for x in probe],
+            "untrained_loss": round(untrained, 4),
+            "curve": [round(x, 4) for x in probe],
             "first": round(probe[0], 4) if probe else None,
             "last": round(probe[-1], 4) if probe else None,
             "dropped": bool(probe and probe[-1] < probe[0]),

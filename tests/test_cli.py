@@ -303,6 +303,7 @@ def test_cli_trainer_flag_passthrough(tmp_path, dataset_dir):  # noqa: F811
     cfg["trainer"]["enable_checkpointing"] = False
     cfg["trainer"]["deterministic_val"] = True
     cfg["trainer"]["fused_steps"] = 2
+    cfg["trainer"]["num_sanity_val_steps"] = 0
     cfg_path2 = tmp_path / "cfg_flags.yaml"
     cfg_path2.write_text(_yaml.safe_dump(cfg))
 
@@ -310,6 +311,12 @@ def test_cli_trainer_flag_passthrough(tmp_path, dataset_dir):  # noqa: F811
     assert trainer.enable_checkpointing is False
     assert trainer.deterministic_val is True
     assert trainer.fused_steps == 2
+    assert trainer.num_sanity_val_steps == 0
+
+    # unset -> Lightning's default of 2 at the CLI surface (the reference
+    # pins the same value, /root/reference/configs/config.yaml:44)
+    _, _, trainer_def = cli.build_from_config(load_config([str(cfg_path)]))
+    assert trainer_def.num_sanity_val_steps == 2
 
 
 @pytest.mark.smoke

@@ -584,6 +584,30 @@ def test_enable_checkpointing_false_writes_nothing(tmp_path):
     assert not os.path.exists(ck)
 
 
+def test_eval_step_cached_per_flags():
+    """make_eval_step returns the SAME jitted callable for equal flags.
+    A fresh jax.jit closure per validation pass is a new trace-cache entry,
+    so every per-epoch probe/val pass would retrace (and, on a remote
+    backend, pay a compile-cache round trip measured in minutes through the
+    dev tunnel — observed live: ~10 min per 4-batch probe pass)."""
+    system = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(
+            fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+        ),
+        SystemConfig(steps_per_epoch=1, max_epochs=1),
+    )
+    flags = system.effect_flags(0)
+    assert system.make_eval_step(flags) is system.make_eval_step(flags)
+    # equal-valued (not identical) flag tuples hit the same entry
+    assert system.make_eval_step(type(flags)(*flags)) is system.make_eval_step(flags)
+    # distinct stages get distinct steps; train cache entries are unaffected
+    other = flags._replace(use_fx_bus=not flags.use_fx_bus)
+    assert system.make_eval_step(other) is not system.make_eval_step(flags)
+    assert system.make_train_step(flags) is not system.make_eval_step(flags)
+
+
 def test_deterministic_val_repeats_exactly(tmp_path):
     """deterministic_val=True: validation draws the SAME reference-mix
     parameters every pass (keys derive from (seed, batch index), not the
@@ -643,6 +667,88 @@ def test_deterministic_val_repeats_exactly(tmp_path):
     v3 = trainer_nd._run_validation(state, flags, jax.random.PRNGKey(3), 0)
     v4 = trainer_nd._run_validation(state, flags, jax.random.PRNGKey(99), 0)
     assert v3["loss"] != v4["loss"]  # fresh ref-mix draws per pass
+
+
+def test_num_sanity_val_steps(tmp_path, capsys):
+    """Lightning's num_sanity_val_steps (the reference pins it to 2,
+    /root/reference/configs/config.yaml:44): N val batches run under the
+    'sanity' tag BEFORE the first training step, the pass is truncated to N
+    (a full val epoch is not paid), validation-end callbacks stay silent,
+    and 0 (the library default) disables it."""
+    from diffmst_tpu.train import Trainer
+
+    val_yields = []
+
+    class DM:
+        batch_size = 1
+
+        def _make(self, i):
+            rng = np.random.default_rng(100 + i)
+            return (
+                rng.normal(size=(1, NT, T)).astype(np.float32) * 0.01,
+                np.zeros((1, NT), np.int32),
+                np.zeros((1, NT), np.int32),
+                np.zeros((1, NT), bool),
+                rng.normal(size=(1, 2, T // 2)).astype(np.float32) * 0.1,
+                ["s"],
+            )
+
+        def train_dataloader(self):
+            return (self._make(i) for i in range(2))
+
+        def val_dataloader(self):
+            def gen():
+                for i in range(3):
+                    val_yields.append(i)
+                    yield self._make(10 + i)
+            return gen()
+
+    def make_system():
+        return System(
+            small_model(),
+            AdvancedMixConsole(SR),
+            MultiResolutionSTFTLoss(
+                fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)
+            ),
+            SystemConfig(steps_per_epoch=2, max_epochs=1, lr=1e-4),
+        )
+
+    class SpyCB:
+        calls = 0
+
+        def on_validation_end(self, epoch, state, audio, metrics):
+            SpyCB.calls += 1
+
+    trainer = Trainer(
+        make_system(), DM(), max_epochs=1, ckpt_dir=str(tmp_path / "ck"),
+        num_sanity_val_steps=2, check_val_every_n_epoch=5,
+        enable_checkpointing=False, callbacks=[SpyCB()],
+        log_every_n_steps=1,
+    )
+    state = trainer.fit()
+    out = capsys.readouterr().out
+    assert int(state.step) == 2
+    # sanity ran exactly 2 of the 3 val batches (islice truncation — a full
+    # val epoch is not paid), before any train log
+    assert val_yields == [0, 1]
+    assert "[sanity]" in out
+    assert out.index("[sanity]") < out.index("[train]")
+    # epoch-end validation never ran (check_val_every_n_epoch=5) and the
+    # sanity pass must not fire validation-end callbacks (Lightning
+    # suppresses user logging during the sanity check)
+    assert "[val]" not in out
+    assert SpyCB.calls == 0
+
+    # 0 (default) disables the pre-fit pass entirely
+    val_yields.clear()
+    trainer0 = Trainer(
+        make_system(), DM(), max_epochs=1, ckpt_dir=str(tmp_path / "ck0"),
+        check_val_every_n_epoch=5, enable_checkpointing=False,
+    )
+    trainer0.fit()
+    out0 = capsys.readouterr().out
+    assert "[sanity]" not in out0
+    assert val_yields == []
 
 
 def test_midepoch_checkpoint_and_resume(tmp_path):
