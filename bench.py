@@ -481,6 +481,13 @@ def run_once(time_left_s=None):
         # BASELINE.md's second north-star metric: full-song inference
         # realtime factor (end-to-end run_diffmst, 60 s 8-track song).
         key = "inference_realtime_factor_8track_60s"
+        stage_keys = [
+            key,
+            "inference_cold_song_realtime_factor",
+            "inference_device_resident_realtime_factor",
+            "inference_serving_bf16_pcm16_realtime_factor",
+            "inference_device_time_realtime_factor",
+        ]
         try:
             rtf, cold_rtf, dev_rtf, srv_rtf, devtime_rtf = bench_inference(
                 jax, jnp
@@ -505,8 +512,11 @@ def run_once(time_left_s=None):
             _stamp(result, stamped)
             _persist(result)
         except Exception as exc:
-            result.pop(key, None)
-            result.get("provenance", {}).pop(key, None)
+            # a failed stage invalidates ALL its merged prior values (same
+            # invariant as the train-step stages above)
+            for k in stage_keys:
+                result.pop(k, None)
+                result.get("provenance", {}).pop(k, None)
             result["inference_error"] = f"{type(exc).__name__}: {exc}"
             _persist(result)
     if os.environ.get("BENCH_SKIP_INFERENCE", "") != "1" and room_for(600):
@@ -515,6 +525,12 @@ def run_once(time_left_s=None):
         # noise reverb on the sends, mst/modules.py:275-313; track count
         # from configs/data/medley+cambridge-16.yaml:12-14).
         key = "inference_realtime_factor_16track_fx_60s"
+        stage_keys = [
+            key,
+            "inference_device_resident_realtime_factor_16track_fx",
+            "inference_serving_bf16_pcm16_realtime_factor_16track_fx",
+            "inference_device_time_realtime_factor_16track_fx",
+        ]
         try:
             rtf, _, dev_rtf, srv_rtf, devtime_rtf = bench_inference(
                 jax, jnp, num_tracks=16, use_fx_bus=True, include_cold=False
@@ -539,8 +555,11 @@ def run_once(time_left_s=None):
             _stamp(result, stamped)
             _persist(result)
         except Exception as exc:
-            result.pop(key, None)
-            result.get("provenance", {}).pop(key, None)
+            # a failed stage invalidates ALL its merged prior values (same
+            # invariant as the train-step stages above)
+            for k in stage_keys:
+                result.pop(k, None)
+                result.get("provenance", {}).pop(k, None)
             result["inference_error_16track_fx"] = f"{type(exc).__name__}: {exc}"
             _persist(result)
     return result

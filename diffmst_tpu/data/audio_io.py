@@ -46,6 +46,12 @@ def _reject_compressed(path: str) -> None:
             head = f.read(12)
     except OSError:
         return  # let the real decoder produce the I/O error
+    if head[:4] == b"RIFF":
+        # A RIFF container: let the wave decoder validate it. Bytes 4-8 are
+        # the little-endian chunk size, which could coincidentally spell a
+        # magic like "ftyp" — without this early return such a WAV would be
+        # falsely rejected.
+        return
     for off, magic, name in _COMPRESSED_MAGICS:
         if head[off : off + len(magic)] == magic:
             raise UnsupportedAudioFormat(
@@ -54,7 +60,7 @@ def _reject_compressed(path: str) -> None:
                 "(offline stereo-split/resample/transcode, mirroring the "
                 "reference's scripts/datasets.py preprocessing)."
             )
-    if len(head) >= 3 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0 and head[:4] != b"RIFF"[:4]:
+    if len(head) >= 3 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
         raise UnsupportedAudioFormat(
             f"{path!r} looks like an MPEG audio stream; this pipeline decodes "
             "WAV only. Convert your dataset first with `python scripts/datasets.py`."

@@ -36,6 +36,16 @@ from diffmst_tpu.data import native as _native
 from diffmst_tpu.data.audio_io import UnsupportedAudioFormat, audio_info, read_audio
 from diffmst_tpu.ops.loudness import integrated_loudness
 
+# Skip-unreadable invariant (dataloader.py:205's soundfile failures become a
+# silent skip): every decode error a damaged WAV can raise — wave.Error /
+# EOFError from wave.open header parsing, OSError from I/O, ValueError from
+# the scipy body decode, and the bare RuntimeError the stdlib chunk reader
+# raises on a malformed chunk size (wave.py:158). UnsupportedAudioFormat (a
+# ValueError subclass) must be re-raised BEFORE this tuple at every catch
+# site: recognizable compressed formats fail loudly with the preprocessing
+# remedy instead of being skipped.
+_SKIP_DECODE_ERRORS = (OSError, EOFError, wave.Error, ValueError, RuntimeError)
+
 __all__ = ["TrackExample", "MultitrackDataset", "MixDataset", "MixDataModule", "MultitrackDataModule"]
 
 
@@ -151,7 +161,9 @@ class MultitrackDataset:
         # random offset at least 25% into the song (dataloader.py:286)
         try:
             num_frames, _, sr = audio_info(paths[0][0])
-        except (OSError, EOFError, wave.Error):
+        except UnsupportedAudioFormat:
+            raise  # decode contract: fail loudly, remedy in the message
+        except _SKIP_DECODE_ERRORS:
             return None
         if num_frames < self.length:
             return None
@@ -237,7 +249,9 @@ class MultitrackDataset:
                 continue
             try:
                 num_frames, chs, _ = audio_info(p)
-            except (OSError, EOFError, wave.Error):
+            except UnsupportedAudioFormat:
+                raise  # decode contract: fail loudly, remedy in the message
+            except _SKIP_DECODE_ERRORS:
                 continue
             if chs != 2 or num_frames < self.length:
                 continue
@@ -248,7 +262,7 @@ class MultitrackDataset:
                 audio, _ = read_audio(p, start=off, frames=self.length)
             except UnsupportedAudioFormat:
                 raise  # decode contract: fail loudly, remedy in the message
-            except (OSError, ValueError):
+            except _SKIP_DECODE_ERRORS:
                 continue
             lufs = integrated_loudness(audio.T, 44100.0)
             if not np.isfinite(lufs):
@@ -353,7 +367,7 @@ class MixDataset:
                 audio, _ = read_audio(p, start=off, frames=self.length)
             except UnsupportedAudioFormat:
                 raise  # decode contract: fail loudly, remedy in the message
-            except (OSError, ValueError):
+            except _SKIP_DECODE_ERRORS:
                 continue
             lufs = integrated_loudness(audio.T, 44100.0)
             if not np.isfinite(lufs) or lufs < -48.0:

@@ -179,7 +179,11 @@ class Trainer:
         state = self._put_state(state)
 
         if self.num_sanity_val_steps:
-            key, k_sanity = jax.random.split(key)
+            # Dedicated key: the sanity check must not perturb the training
+            # PRNG stream (same-seed runs stay bit-identical whether the
+            # knob is 0 or 2, matching Lightning where sanity is a no-op on
+            # training randomness). seed+1 is the deterministic-val base.
+            k_sanity = jax.random.PRNGKey(self.seed + 2)
             self._run_validation(
                 state, self.system.effect_flags(start_epoch), k_sanity,
                 epoch=start_epoch, tag="sanity",
@@ -374,7 +378,8 @@ class Trainer:
             dataloader = self.datamodule.val_dataloader()
         if limit_batches is not None:
             dataloader = itertools.islice(dataloader, limit_batches)
-        val_base = jax.random.PRNGKey(self.seed + 1)
+        if self.deterministic_val:
+            val_base = jax.random.PRNGKey(self.seed + 1)
         for i, batch in enumerate(_prefetch(dataloader, self._put_batch)):
             if self.deterministic_val:
                 k_step = jax.random.fold_in(val_base, i)
@@ -385,7 +390,8 @@ class Trainer:
                 agg[k].append(float(v))
         val_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
         self._log(tag, {**val_metrics, "epoch": epoch})
-        if tag == "val":  # Lightning suppresses user hooks during sanity
+        if tag != "sanity":  # Lightning suppresses user hooks during sanity
+            # (but they DO fire for val and test passes alike)
             for cb in self.callbacks:
                 if hasattr(cb, "on_validation_end") and audio is not None:
                     cb.on_validation_end(epoch, state, audio, val_metrics)

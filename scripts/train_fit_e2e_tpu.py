@@ -112,6 +112,9 @@ def main():
                 # no val pass: the eval graph is a separate multi-minute
                 # compile; validation is exercised by tests and the CPU CLI
                 "check_val_every_n_epoch": 2,
+                # ... and the CLI's Lightning-parity sanity default (2)
+                # would run that same eval compile inside the timed window
+                "num_sanity_val_steps": 0,
             },
         }, f)
     cfg = load_config([
@@ -133,7 +136,6 @@ def main():
     third = max(1, len(losses) // 3)
     sustained = float(np.median(sps)) if sps else None
 
-    bytes_per_step = xfer["bytes_per_batch"] + 2 * T * 4 * BS // 4  # + masks etc (tiny)
     tunnel_bound = xfer["bandwidth_mb_s"] * 1e6 / xfer["bytes_per_batch"]
     summary = {
         "backend": jax.default_backend(),

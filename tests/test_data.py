@@ -323,3 +323,34 @@ def test_compressed_formats_fail_loudly(tmp_path):
     )
     with pytest.raises(UnsupportedAudioFormat):
         ds.reload_track_buffer()
+
+
+def test_truncated_wav_skipped_not_crash(tmp_path):
+    """Skip-unreadable invariant: a damaged WAV (truncated header →
+    wave.Error / EOFError, neither an OSError) is skipped by every dataset
+    decode site, mirroring the reference's silent soundfile-failure skip
+    (dataloader.py:205) — only *recognizable compressed formats* fail
+    loudly."""
+    from diffmst_tpu.data import MixDataset
+
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(2, LEN * 2)).astype(np.float32) * 0.25
+    write_audio(str(tmp_path / "good.wav"), good, SR)
+    # a RIFF header that dies mid-parse: valid magic, garbage after
+    (tmp_path / "bad.wav").write_bytes(b"RIFF\x24\x00\x00\x00WAVE" + b"\x01" * 8)
+    ds = MixDataset(root_dirs=[str(tmp_path)], length=LEN, seed=0,
+                    num_examples_per_epoch=2)
+    assert len(ds.paths) == 2
+    x = ds[0]  # must skip bad.wav and land on good.wav, not raise
+    assert x.shape == (2, LEN)
+
+
+def test_wav_size_field_spelling_magic_not_rejected(tmp_path):
+    """A genuine RIFF/WAV whose little-endian size field happens to spell a
+    compressed-format magic (e.g. 'ftyp' at offset 4) must NOT be rejected
+    by the sniffer — RIFF files are exempt from magic matching."""
+    from diffmst_tpu.data.audio_io import _reject_compressed
+
+    p = tmp_path / "odd_size.wav"
+    p.write_bytes(b"RIFF" + b"ftyp" + b"WAVE" + b"\x00" * 32)
+    _reject_compressed(str(p))  # must not raise

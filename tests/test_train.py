@@ -703,6 +703,9 @@ def test_num_sanity_val_steps(tmp_path, capsys):
                     yield self._make(10 + i)
             return gen()
 
+        def test_dataloader(self):
+            return (self._make(20 + i) for i in range(2))
+
     def make_system():
         return System(
             small_model(),
@@ -738,6 +741,27 @@ def test_num_sanity_val_steps(tmp_path, capsys):
     # suppresses user logging during the sanity check)
     assert "[val]" not in out
     assert SpyCB.calls == 0
+
+    # ... but suppression is sanity-only: Trainer.test() DOES fire the
+    # validation-end hooks (regression: the guard must be tag != "sanity",
+    # not tag == "val")
+    trainer.test()
+    assert SpyCB.calls == 1
+
+    # the sanity check must not perturb the training PRNG stream: a fit
+    # with the knob off reaches bit-identical parameters (Lightning parity
+    # — sanity is a no-op on training randomness)
+    trainer_off = Trainer(
+        make_system(), DM(), max_epochs=1, ckpt_dir=str(tmp_path / "ck0"),
+        num_sanity_val_steps=0, check_val_every_n_epoch=5,
+        enable_checkpointing=False, log_every_n_steps=1,
+    )
+    state_off = trainer_off.fit()
+    same = jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.params, state_off.params,
+    )
+    assert all(jax.tree_util.tree_leaves(same))
 
     # 0 (default) disables the pre-fit pass entirely
     val_yields.clear()
