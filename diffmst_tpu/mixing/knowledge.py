@@ -30,7 +30,7 @@ import numpy as np
 from diffmst_tpu.console.ranges import normalize
 from diffmst_tpu.mixing.naive import NaiveRandomMix
 
-__all__ = ["instrument_metadata", "knowledge_engineering_mix"]
+__all__ = ["instrument_metadata", "knowledge_engineering_mix", "sample_ke_params"]
 
 _EQ_KE_TO_CONSOLE = {
     "eq_lowshelf_gain": "low_shelf_gain_db",
@@ -66,6 +66,8 @@ _COMP_ORDER = [
     "threshold_db", "ratio", "attack_ms", "release_ms", "knee_db",
     "makeup_gain_db",
 ]
+
+_EQ_CONSOLE_TO_KE = {v: k for k, v in _EQ_KE_TO_CONSOLE.items()}
 
 _DEFAULT_CLASS = {
     "gain": [-12.0, -6.0],
@@ -115,6 +117,16 @@ def _sample(rng: np.random.Generator, lohi: Optional[Sequence[float]], default):
     return rng.uniform(lo, hi) if hi > lo else lo
 
 
+def _choice(rng: np.random.Generator, values: Optional[Sequence[float]], default):
+    """Discrete draw over candidate values — the KE YAML stores *pan* as a
+    list of candidates, not a range (the reference draws it with
+    random.choice, mixing.py:312; e.g. the extreme-panned percussion class
+    lists [1.0, 0.0], and some classes list 3+ candidates)."""
+    if not values:
+        return _sample(rng, None, default)
+    return float(values[int(rng.integers(len(values)))])
+
+
 def _norm_clip(value: float, rng_pair) -> float:
     lo, hi = rng_pair
     return float(np.clip(normalize(value, lo, hi), 0.0, 1.0))
@@ -141,40 +153,24 @@ def _load_vendored_ke() -> Dict:
         return yaml.safe_load(f)
 
 
-def knowledge_engineering_mix(
-    tracks: jnp.ndarray,
+def sample_ke_params(
+    ke_dict: Dict,
+    mdata: List[List[str]],
+    stereo: np.ndarray,
+    rng: np.random.Generator,
     mix_console,
-    key: Optional[jax.Array] = None,
-    instrument_id: Optional[np.ndarray] = None,
-    stereo_id: Optional[np.ndarray] = None,
-    instrument_number_file: Optional[Dict[str, int]] = None,
-    ke_dict: Optional[Dict] = None,
-    use_track_input_fader: bool = True,
-    use_track_eq: bool = True,
-    use_track_compressor: bool = True,
-    use_track_panner: bool = True,
-    use_fx_bus: bool = True,
-    use_master_bus: bool = True,
-    use_output_fader: bool = True,
-    seed: int = 0,
-    **_unused,
-) -> NaiveRandomMix:
-    """Instrument-aware heuristic mix; returns the naive_random_mix 8-tuple."""
-    if ke_dict is None:
-        ke_dict = _load_vendored_ke()
-    bs, num_tracks, _ = tracks.shape
-    rng = np.random.default_rng(seed)
-    ranges = mix_console.param_ranges
+) -> tuple:
+    """Host-side KE parameter sampling: instrument names -> normalized
+    (track, fx-bus, master-bus) parameter arrays.
 
-    if instrument_id is None or instrument_number_file is None:
-        mdata = [["unknown"] * num_tracks for _ in range(bs)]
-    else:
-        mdata = instrument_metadata(instrument_id, instrument_number_file)
-    stereo = (
-        np.zeros((bs, num_tracks), np.int64)
-        if stereo_id is None
-        else np.asarray(stereo_id)
-    )
+    This is the string-metadata half of ``knowledge_engineering_mix``,
+    split out so the training system can run it OUTSIDE the jitted step
+    (host samples tiny param arrays per step; the console render of those
+    params stays on device). NumPy by nature, like the reference's
+    (mixing.py:98-1100)."""
+    bs = len(mdata)
+    num_tracks = len(mdata[0]) if bs else 0
+    ranges = mix_console.param_ranges
 
     tp = np.zeros((bs, num_tracks, mix_console.num_track_control_params), np.float32)
     for b in range(bs):
@@ -186,10 +182,7 @@ def knowledge_engineering_mix(
 
             eq_spec = spec.get("eq") or {}
             for i, console_name in enumerate(_EQ_ORDER):
-                ke_name = next(
-                    k for k, v in _EQ_KE_TO_CONSOLE.items() if v == console_name
-                )
-                lo_hi = eq_spec.get(ke_name)
+                lo_hi = eq_spec.get(_EQ_CONSOLE_TO_KE[console_name])
                 default = (
                     (0.0, 0.0)
                     if console_name.endswith("gain_db")
@@ -207,12 +200,13 @@ def knowledge_engineering_mix(
                 )
                 tp[b, t, 19 + i] = _norm_clip(val, ranges["compressor"][name])
 
-            # pan, with stereo-pair mirroring (mixing.py:705-722)
+            # pan (discrete candidates, mixing.py:312), with stereo-pair
+            # mirroring (mixing.py:705-722)
             if mirror_pan is not None:
                 pan = 1.0 - mirror_pan
                 mirror_pan = None
             else:
-                pan = _sample(rng, spec.get("pan"), _DEFAULT_CLASS["pan"])
+                pan = _choice(rng, spec.get("pan"), _DEFAULT_CLASS["pan"])
                 if stereo[b, t] == 1:
                     mirror_pan = pan
             tp[b, t, 25] = _norm_clip(pan, ranges["stereo_panner"]["pan"])
@@ -241,16 +235,13 @@ def knowledge_engineering_mix(
     for b in range(bs):
         eq_spec = m_spec.get("eq") or {}
         for i, console_name in enumerate(_EQ_ORDER):
-            ke_name = next(
-                k for k, v in _EQ_KE_TO_CONSOLE.items() if v == console_name
-            )
             default = (
                 (0.0, 0.0)
                 if console_name.endswith("gain_db")
                 else ranges["parametric_eq"][console_name]
             )
             mp[b, i] = _norm_clip(
-                _sample(rng, eq_spec.get(ke_name), default),
+                _sample(rng, eq_spec.get(_EQ_CONSOLE_TO_KE[console_name]), default),
                 ranges["parametric_eq"][console_name],
             )
         comp_spec = m_spec.get("compressor") or {}
@@ -266,6 +257,71 @@ def knowledge_engineering_mix(
             _sample(rng, fader, (-10.0, 0.0)), ranges["output_fader"]["gain_db"]
         )
         mp[b, 25] = _norm_clip(0.0, ranges["input_fader"]["gain_db"])
+    return tp, fx, mp
+
+
+def knowledge_engineering_mix(
+    tracks: jnp.ndarray,
+    mix_console,
+    key: Optional[jax.Array] = None,
+    instrument_id: Optional[np.ndarray] = None,
+    stereo_id: Optional[np.ndarray] = None,
+    instrument_number_file: Optional[Dict[str, int]] = None,
+    ke_dict: Optional[Dict] = None,
+    use_track_input_fader: bool = True,
+    use_track_eq: bool = True,
+    use_track_compressor: bool = True,
+    use_track_panner: bool = True,
+    use_fx_bus: bool = True,
+    use_master_bus: bool = True,
+    use_output_fader: bool = True,
+    seed: Optional[int] = None,
+    **_unused,
+) -> NaiveRandomMix:
+    """Instrument-aware heuristic mix; returns the naive_random_mix 8-tuple.
+
+    Host-side by nature (string metadata logic + NumPy RNG), so it CANNOT
+    be traced into a jitted step — under tracing the sampled parameters
+    would be baked in as compile-time constants and every step would render
+    the identical reference mix. ``System`` detects ``host_side`` and runs
+    the sampling outside its jitted step instead (train/system.py); calling
+    this directly under ``jax.jit`` raises.
+
+    RNG: ``seed`` wins if given; otherwise the seed derives from ``key`` so
+    distinct keys give distinct mixes (reference semantics: a fresh
+    ``random.uniform``/``random.choice`` stream per call, mixing.py:296-312);
+    with neither, seed 0.
+    """
+    if ke_dict is None:
+        ke_dict = _load_vendored_ke()
+    if isinstance(tracks, jax.core.Tracer) or isinstance(key, jax.core.Tracer):
+        raise TypeError(
+            "knowledge_engineering_mix is host-side (string metadata + NumPy "
+            "RNG) and cannot be traced into jit — the sampled parameters "
+            "would freeze into compile-time constants. Use it through "
+            "System (which hosts the sampling outside the jitted step) or "
+            "call it eagerly."
+        )
+    bs, num_tracks, _ = tracks.shape
+    if seed is None:
+        seed = (
+            int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+            if key is not None
+            else 0
+        )
+    rng = np.random.default_rng(seed)
+
+    if instrument_id is None or instrument_number_file is None:
+        mdata = [["unknown"] * num_tracks for _ in range(bs)]
+    else:
+        mdata = instrument_metadata(instrument_id, instrument_number_file)
+    stereo = (
+        np.zeros((bs, num_tracks), np.int64)
+        if stereo_id is None
+        else np.asarray(stereo_id)
+    )
+
+    tp, fx, mp = sample_ke_params(ke_dict, mdata, stereo, rng, mix_console)
 
     out = mix_console(
         tracks,
@@ -292,3 +348,7 @@ def knowledge_engineering_mix(
         jnp.asarray(fx),
         jnp.asarray(mp),
     )
+
+
+# System checks this flag to host the sampling outside its jitted step.
+knowledge_engineering_mix.host_side = True

@@ -42,6 +42,31 @@ from diffmst_tpu.utils.audio import batch_stereo_peak_normalize
 __all__ = ["SystemConfig", "EffectFlags", "TrainState", "System", "Batch"]
 
 
+def _resolve_repo_path(path: str) -> str:
+    """Resolve the reference's relative default paths (``data/...``,
+    system.py:27-28) against the repo root when they don't exist from cwd."""
+    import os
+
+    if os.path.isabs(path) or os.path.exists(path):
+        return path
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, path)
+
+
+def _load_repo_json(path: str):
+    import json
+
+    with open(_resolve_repo_path(path)) as f:
+        return json.load(f)
+
+
+def _load_repo_yaml(path: str):
+    import yaml
+
+    with open(_resolve_repo_path(path)) as f:
+        return yaml.safe_load(f)
+
+
 class Batch(NamedTuple):
     """One training batch (mirrors the dataset item, dataloader.py:419)."""
 
@@ -147,6 +172,23 @@ class System:
         self.mesh = mesh
         self._train_step_cache: Dict[tuple, Callable] = {}
         self.optimizer = self._make_optimizer()
+        # KE mix support (reference system.py:72-80): a host-side mix_fn
+        # (string-metadata + NumPy RNG — knowledge_engineering_mix) cannot
+        # be traced into the jitted step, so the System loads its metadata
+        # here and samples the reference-mix parameters on the host each
+        # step (_host_sample_ke); only the console render of those params
+        # runs on device.
+        self.instrument_number_lookup = None
+        self.knowledge_engineering_dict = None
+        if getattr(mix_fn, "host_side", False):
+            self.instrument_number_lookup = _load_repo_json(
+                kwargs.get("instrument_id_json", "data/instrument_name2id.json")
+            )
+            self.knowledge_engineering_dict = _load_repo_yaml(
+                kwargs.get(
+                    "knowledge_engineering_yaml", "data/knowledge_engineering.yaml"
+                )
+            )
 
     @property
     def _mp_sharded(self) -> bool:
@@ -224,7 +266,8 @@ class System:
 
     # ------------------------------------------------- mp-sharded encoders
     def _apply_model_mp(
-        self, variables, tracks_b, ref_mix_a, padding, train, mutable, batch_stats
+        self, variables, tracks_b, ref_mix_a, padding, train, mutable, batch_stats,
+        key=None,
     ):
         """Track-parallel model application over the (dp, mp) mesh.
 
@@ -255,12 +298,24 @@ class System:
                     "statistics reduce globally inside shard_map"
                 )
 
-        def encode(v, t, r):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        def encode(v, t, r, k):
+            # dropout rngs: same replicated key on every shard, distinct
+            # streams per encoder — each shard draws its mask for its local
+            # track slice (an active-dropout model regularizes validly; the
+            # mask layout differs from the single-device one, so exact-parity
+            # tests use dropout-free models)
+            rngs = {"dropout": jax.random.fold_in(k, 0)} if train else None
             te_out = model.apply(
-                v, t, train=train, mutable=mutable, method="encode_tracks"
+                v, t, train=train, mutable=mutable, method="encode_tracks",
+                rngs=rngs,
             )
+            rngs = {"dropout": jax.random.fold_in(k, 1)} if train else None
             me_out = model.apply(
-                v, r, train=train, mutable=mutable, method="encode_mix"
+                v, r, train=train, mutable=mutable, method="encode_mix",
+                rngs=rngs,
             )
             if mutable:
                 te, upd_t = te_out
@@ -277,16 +332,24 @@ class System:
         te, me, upd = shard_map(
             encode,
             mesh=self.mesh,
-            in_specs=(P(), P("dp", "mp", None), P("dp", None, None)),
+            in_specs=(P(), P("dp", "mp", None), P("dp", None, None), P()),
             out_specs=(P("dp", "mp", None), P("dp", None, None), P()),
             check_vma=False,
-        )(variables, tracks_b, ref_mix_a)
+        )(variables, tracks_b, ref_mix_a, key)
 
-        new_batch_stats = upd.get("batch_stats", batch_stats) if mutable else batch_stats
+        # merge INTO the incoming stats: the encoders' updates overwrite
+        # their own entries, anything owned by other submodules survives
+        # (matching the non-mp path, whose full-forward updates carry the
+        # whole tree)
+        if mutable:
+            new_batch_stats = {**batch_stats, **upd.get("batch_stats", {})}
+        else:
+            new_batch_stats = batch_stats
 
         ctrl_out = model.apply(
             variables, te, me, padding, train=train, method="control",
             mutable=False,
+            rngs={"dropout": jax.random.fold_in(key, 2)} if train else None,
         )
         return ctrl_out, new_batch_stats
 
@@ -299,6 +362,7 @@ class System:
         key: jax.Array,
         flags: EffectFlags,
         train: bool,
+        ke_params: Optional[Tuple] = None,
     ):
         cfg = self.config
         k_mix, k_model, k_render = jax.random.split(key, 3)
@@ -307,22 +371,53 @@ class System:
 
         ref_params = None
         if cfg.generate_mix:
-            ref = self.mix_fn(
-                tracks,
-                self.mix_console,
-                k_mix,
-                use_track_input_fader=False,  # system.py:235
-                use_track_eq=flags.use_track_eq,
-                use_track_compressor=flags.use_track_compressor,
-                use_fx_bus=flags.use_fx_bus,
-                use_master_bus=flags.use_master_bus,
-                use_output_fader=False,  # system.py:241
-            )
-            ref_mix = batch_stereo_peak_normalize(ref.mix)
+            if getattr(self.mix_fn, "host_side", False):
+                # Host-side mix_fn (KE): the parameters were sampled on the
+                # host by the step wrapper (_host_sample_ke) — only the
+                # console render runs here, on device (reference renders
+                # eagerly per step, system.py:232-242).
+                if ke_params is None:
+                    raise ValueError(
+                        "host-side mix_fn needs ke_params — dispatch the "
+                        "step through System.make_train_step/make_eval_step"
+                    )
+                tp_ref, fx_ref, mp_ref = ke_params
+                out = self.mix_console(
+                    tracks,
+                    tp_ref,
+                    fx_ref,
+                    mp_ref,
+                    use_track_input_fader=False,  # system.py:235
+                    use_track_eq=flags.use_track_eq,
+                    use_track_compressor=flags.use_track_compressor,
+                    use_fx_bus=flags.use_fx_bus,
+                    use_master_bus=flags.use_master_bus,
+                    use_output_fader=False,  # system.py:241
+                    key=k_mix,
+                )
+                ref_mix_raw = jax.lax.stop_gradient(out.mix)
+                ref_param_arrays = (tp_ref, fx_ref, mp_ref)
+            else:
+                ref = self.mix_fn(
+                    tracks,
+                    self.mix_console,
+                    k_mix,
+                    use_track_input_fader=False,  # system.py:235
+                    use_track_eq=flags.use_track_eq,
+                    use_track_compressor=flags.use_track_compressor,
+                    use_fx_bus=flags.use_fx_bus,
+                    use_master_bus=flags.use_master_bus,
+                    use_output_fader=False,  # system.py:241
+                )
+                ref_mix_raw = ref.mix
+                ref_param_arrays = (
+                    ref.track_params, ref.fx_bus_params, ref.master_bus_params
+                )
+            ref_mix = batch_stereo_peak_normalize(ref_mix_raw)
             ref_mix_a = ref_mix[..., :middle]
             ref_mix_b = ref_mix[..., middle:]
             tracks_b = tracks[..., middle:]
-            ref_params = (ref.track_params, ref.fx_bus_params, ref.master_bus_params)
+            ref_params = ref_param_arrays
         else:
             ref_mix_a = batch.ref_mix
             ref_mix_b = batch.ref_mix
@@ -336,7 +431,7 @@ class System:
             (pred_track, pred_fx, pred_master), new_batch_stats = (
                 self._apply_model_mp(
                     variables, tracks_b, ref_mix_a, batch.track_padding,
-                    train, mutable, batch_stats,
+                    train, mutable, batch_stats, key=k_model,
                 )
             )
         else:
@@ -347,6 +442,11 @@ class System:
                 batch.track_padding,
                 train=train,
                 mutable=mutable,
+                # dropout rng (flax ignores it for dropout-free models;
+                # without it an active nn.Dropout — e.g.
+                # WaveformTransformerEncoder's PositionalEncoding,
+                # encoders.py:97 — raises at trace time)
+                rngs={"dropout": k_model} if train else None,
             )
             if mutable:
                 (pred_track, pred_fx, pred_master), updates = out
@@ -404,6 +504,40 @@ class System:
         }
         return loss, aux
 
+    @property
+    def _host_side_mix(self) -> bool:
+        return self.config.generate_mix and getattr(self.mix_fn, "host_side", False)
+
+    def _host_sample_ke(self, batch: Batch, key: jax.Array) -> Tuple:
+        """Sample KE reference-mix parameters on the host for one step.
+
+        Reads the batch's tiny metadata arrays back to host (instrument ids
+        + stereo flags, (bs, tracks) ints), seeds a NumPy generator from the
+        step's jax key (distinct keys -> distinct mixes; a fixed key — e.g.
+        deterministic_val — repeats the draw exactly), and returns the three
+        normalized parameter arrays for the device render. Mirrors the
+        reference's per-step metadata forwarding (system.py:232-242)."""
+        import numpy as np
+
+        from diffmst_tpu.mixing.knowledge import (
+            instrument_metadata,
+            sample_ke_params,
+        )
+
+        iid = np.asarray(batch.instrument_id)
+        if self.instrument_number_lookup:
+            mdata = instrument_metadata(iid, self.instrument_number_lookup)
+        else:
+            mdata = [["unknown"] * iid.shape[1] for _ in range(iid.shape[0])]
+        stereo = np.asarray(batch.stereo_info)
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+        rng = np.random.default_rng(seed)
+        tp, fx, mp = sample_ke_params(
+            self.knowledge_engineering_dict or {}, mdata, stereo, rng,
+            self.mix_console,
+        )
+        return jnp.asarray(tp), jnp.asarray(fx), jnp.asarray(mp)
+
     def make_train_step(self, flags: EffectFlags, donate: bool = True) -> Callable:
         """Build (and cache) the jitted train step for one curriculum stage.
 
@@ -411,15 +545,32 @@ class System:
         for a non-donating step to trace inside its lax.scan, and that must
         not shadow (or be shadowed by) the donating step the sequential
         loop dispatches directly.
+
+        With a host-side mix_fn (KE) the returned callable is a thin host
+        wrapper: it samples the KE parameters outside jit, then dispatches
+        the jitted step with them — same (state, batch, key) signature.
+        Such a step cannot be traced into a fused lax.scan dispatch
+        (``donate=False`` is how the fused trainer asks), so that combo
+        raises.
         """
         cache_key = (flags, donate)
         if cache_key in self._train_step_cache:
             return self._train_step_cache[cache_key]
+        if self._host_side_mix and not donate:
+            raise ValueError(
+                "fused_steps > 1 cannot host a host-side mix_fn (KE): the "
+                "per-step parameter sampling runs outside jit and a fused "
+                "lax.scan dispatch has no per-step host boundary. Set "
+                "fused_steps=1 for knowledge_engineering_mix runs."
+            )
 
-        def train_step(state: TrainState, batch: Batch, key: jax.Array):
+        def train_step(
+            state: TrainState, batch: Batch, key: jax.Array, ke_params=None
+        ):
             def loss_fn(params):
                 return self._common(
-                    params, state.batch_stats, batch, key, flags, train=True
+                    params, state.batch_stats, batch, key, flags, train=True,
+                    ke_params=ke_params,
                 )
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -439,6 +590,12 @@ class System:
             return new_state, metrics
 
         fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        if self._host_side_mix:
+            inner = fn
+
+            def fn(state, batch, key):
+                return inner(state, batch, key, self._host_sample_ke(batch, key))
+
         self._train_step_cache[cache_key] = fn
         return fn
 
@@ -455,9 +612,12 @@ class System:
         if cache_key in self._train_step_cache:
             return self._train_step_cache[cache_key]
 
-        def eval_step(state: TrainState, batch: Batch, key: jax.Array):
+        def eval_step(
+            state: TrainState, batch: Batch, key: jax.Array, ke_params=None
+        ):
             _, aux = self._common(
-                state.params, state.batch_stats, batch, key, flags, train=False
+                state.params, state.batch_stats, batch, key, flags, train=False,
+                ke_params=ke_params,
             )
             return aux["metrics"], {
                 "pred_mix_b": aux["pred_mix_b"],
@@ -470,5 +630,11 @@ class System:
             }
 
         fn = jax.jit(eval_step)
+        if self._host_side_mix:
+            inner = fn
+
+            def fn(state, batch, key):
+                return inner(state, batch, key, self._host_sample_ke(batch, key))
+
         self._train_step_cache[cache_key] = fn
         return fn

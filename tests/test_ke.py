@@ -114,3 +114,60 @@ def test_ke_mix_uses_vendored_yaml_by_default():
     )
     assert np.isfinite(np.asarray(out.mix)).all()
     assert out.mix.shape == (1, 2, 16384)
+
+
+def test_ke_pan_uses_discrete_candidates():
+    """Pan entries in the KE YAML are candidate VALUES, not a range — the
+    reference draws them with random.choice (mixing.py:312). A class listing
+    [1.0, 0.0] must produce both hard-left and hard-right pans (a range
+    reading would freeze it at 1.0 forever), and a 4-candidate list must hit
+    all four values."""
+    from diffmst_tpu.mixing.knowledge import _choice, sample_ke_params
+
+    rng = np.random.default_rng(0)
+    draws = {_choice(rng, [1.0, 0.0], (0.3, 0.7)) for _ in range(64)}
+    assert draws == {0.0, 1.0}
+    draws4 = {_choice(rng, [0.3, 0.4, 0.6, 0.7], (0.3, 0.7)) for _ in range(256)}
+    assert draws4 == {0.3, 0.4, 0.6, 0.7}
+
+    console = AdvancedMixConsole(SR)
+    ke = _ke_dict()
+    ke["extreme"] = dict(ke["vox"], instruments=["perc"], pan=[1.0, 0.0])
+    mdata = [["perc"] * 8]
+    pans = set()
+    for s in range(16):
+        tp, _, _ = sample_ke_params(
+            ke, mdata, np.zeros((1, 8), int), np.random.default_rng(s), console
+        )
+        pans.update(np.round(np.asarray(tp[0, :, 25]), 4).tolist())
+    assert len(pans) == 2  # normalized images of exactly {0.0, 1.0}
+
+
+def test_ke_mix_refuses_tracing():
+    """Host-side by nature: tracing it into jit would freeze the sampled
+    parameters as compile-time constants, so it must raise instead."""
+    console = AdvancedMixConsole(SR)
+    tracks = jnp.zeros((1, 2, 16384))
+
+    @jax.jit
+    def step(tr, key):
+        return knowledge_engineering_mix(
+            tr, console, key, ke_dict=_ke_dict(), use_fx_bus=False
+        ).mix
+
+    with pytest.raises(TypeError, match="host-side"):
+        step(tracks, jax.random.PRNGKey(0))
+
+
+def test_ke_key_varies_mix():
+    """Without an explicit seed, the jax key drives the host RNG: distinct
+    keys must give distinct parameter draws (the reference resamples its
+    global random stream every call, mixing.py:296-312)."""
+    console = AdvancedMixConsole(SR)
+    tracks = jax.random.normal(jax.random.PRNGKey(9), (1, 2, 16384)) * 0.05
+    kw = dict(ke_dict=_ke_dict(), use_fx_bus=False)
+    a = knowledge_engineering_mix(tracks, console, jax.random.PRNGKey(1), **kw)
+    b = knowledge_engineering_mix(tracks, console, jax.random.PRNGKey(2), **kw)
+    c = knowledge_engineering_mix(tracks, console, jax.random.PRNGKey(1), **kw)
+    assert not np.allclose(np.asarray(a.track_params), np.asarray(b.track_params))
+    assert np.array_equal(np.asarray(a.track_params), np.asarray(c.track_params))

@@ -190,6 +190,48 @@ def test_curriculum_flags():
     assert sys.effect_flags(1000) == EffectFlags(True, True, True, True)
 
 
+def test_ke_mix_fn_through_system_step():
+    """knowledge_engineering_mix as the training mix_fn (the reference
+    supports this via its ctor + per-step metadata forwarding,
+    system.py:72-80,232-242). The mix_fn is host-side, so the System hosts
+    the parameter sampling OUTSIDE the jitted step: distinct step keys must
+    give distinct reference mixes (a traced-in version would freeze the
+    sampled parameters as compile-time constants), a repeated key must
+    repeat the draw exactly, and the fused-dispatch combo (which has no
+    per-step host boundary) must refuse."""
+    from diffmst_tpu.mixing import knowledge_engineering_mix
+
+    system = System(
+        small_model(),
+        AdvancedMixConsole(SR),
+        MultiResolutionSTFTLoss(fft_sizes=(512,), hop_sizes=(256,), win_lengths=(512,)),
+        SystemConfig(steps_per_epoch=2, max_epochs=1, lr=1e-4),
+        mix_fn=knowledge_engineering_mix,
+    )
+    assert system.knowledge_engineering_dict  # vendored YAML loaded
+    assert system.instrument_number_lookup
+    batch = make_batch(jax.random.PRNGKey(0), bs=1)
+    state = system.init(jax.random.PRNGKey(1), batch)
+    flags = system.effect_flags(0)
+
+    eval_fn = system.make_eval_step(flags)
+    m1, out1 = eval_fn(state, batch, jax.random.PRNGKey(10))
+    m2, out2 = eval_fn(state, batch, jax.random.PRNGKey(11))
+    m3, out3 = eval_fn(state, batch, jax.random.PRNGKey(10))
+    r1, r2, r3 = (np.asarray(o["ref_mix_a"]) for o in (out1, out2, out3))
+    assert not np.allclose(r1, r2)  # per-step resampling reaches the chip
+    assert np.array_equal(r1, r3)  # key-deterministic
+    assert np.isfinite(float(m1["loss"]))
+
+    train_fn = system.make_train_step(flags)
+    state2, metrics = train_fn(state, batch, jax.random.PRNGKey(12))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+    with pytest.raises(ValueError, match="fused_steps"):
+        system.make_train_step(flags, donate=False)
+
+
 def test_method2_afloss_path():
     sys = System(
         small_model(),
