@@ -185,8 +185,14 @@ def main():
     steps_per_epoch = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     mode = os.environ.get("DEMO_MODE", "device")
+    # Optimizer sweep knobs (VERDICT round-4 #4 — the round-4 curve's best
+    # probe point was epoch 1 at lr 1e-4/"step", then a flat 3.70):
+    lr = float(os.environ.get("DEMO_LR", "1e-4"))
+    schedule = os.environ.get("DEMO_SCHEDULE", "step")
+    out_path = os.environ.get("DEMO_OUT", "logs/train_demo_tpu.json")
+    save_ckpt = os.environ.get("DEMO_SAVE_CKPT", "")  # dir: save final state
     print("backend:", jax.default_backend(), jax.devices(), "mode:", mode,
-          flush=True)
+          "lr:", lr, "schedule:", schedule, flush=True)
 
     console = AdvancedMixConsole(SR)
     loss_fn = MultiResolutionSTFTLoss()
@@ -197,7 +203,8 @@ def main():
         console,
         loss_fn,
         SystemConfig(
-            steps_per_epoch=steps_per_epoch, max_epochs=epochs, lr=1e-4,
+            steps_per_epoch=steps_per_epoch, max_epochs=epochs, lr=lr,
+            schedule=schedule,
             active_fx_bus_epoch=1000, adam_mu_dtype="bfloat16",
         ),
     )
@@ -231,6 +238,10 @@ def main():
     t0 = time.time()
     state = trainer.fit()
     wall = time.time() - t0
+    if save_ckpt:
+        trainer.ckpt_dir = save_ckpt
+        trainer._save_last(state, next_epoch=epochs)
+        print(f"[ckpt] final state saved to {save_ckpt}/last", flush=True)
 
     losses = [h["loss"] for h in trainer.history if "loss" in h]
     sps = [h["steps_per_sec"] for h in trainer.history if "steps_per_sec" in h]
@@ -242,6 +253,8 @@ def main():
         "backend": jax.default_backend(),
         "shape": f"{BS}x{NT}x{T}",
         "recipe": "bf16 compute, no remat, Adam mu bf16 (configs/models/naive+tpu.yaml)",
+        "lr": lr,
+        "schedule": schedule,
         "data_mode": mode,
         "distinct_batches": (
             "fresh every step (device-synthesized)" if mode == "device"
@@ -274,7 +287,7 @@ def main():
         "captured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     os.makedirs("logs", exist_ok=True)
-    with open("logs/train_demo_tpu.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

@@ -83,7 +83,10 @@ def transfer_bandwidth():
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 350
+    # >=1000 steps across >=3 buffer reload cycles (VERDICT round-4 #6):
+    # steady-state evidence for the host-pipeline headroom claim, not a
+    # single-buffer pilot.
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     ensure_corpus()
 
     import jax
@@ -123,11 +126,41 @@ def main():
         "configs/data/synthetic-8.yaml",
         trainer_overlay,
     ])
-    # honor the requested step count (350 default = the committed config)
-    cfg["data"]["init_args"]["num_examples_per_pass"] = steps * BS // 2
+    # Reload cadence: the dataset reloads its RAM buffer once per
+    # num_examples_per_pass * num_train_passes items (reference epoch
+    # semantics, dataloader.py:384-419) — sized here so the run crosses
+    # >=3 full reload cycles.
+    cfg["data"]["init_args"]["num_examples_per_pass"] = steps * BS // 3
     system, datamodule, trainer = cli.build_from_config(cfg)
 
-    t0 = time.time()
+    # Per-reload host-pipeline stats: wrap the dataset's reload (it runs
+    # inside the prefetch thread) to time each cycle and record the buffer
+    # fill it produced.
+    ds = datamodule.train_dataset
+    reloads = []
+    orig_tracks, orig_mix = ds.reload_track_buffer, ds.reload_mix_buffer
+
+    def timed_tracks():
+        t0 = time.time()
+        orig_tracks()
+        reloads.append({
+            "at_wall_s": round(time.time() - fit_t0, 1) if fit_t0 else 0.0,
+            "track_reload_s": round(time.time() - t0, 1),
+            "buffered_examples": len(ds.track_buffer),
+        })
+
+    def timed_mix():
+        t0 = time.time()
+        orig_mix()
+        if reloads:
+            reloads[-1]["mix_reload_s"] = round(time.time() - t0, 1)
+
+    ds.reload_track_buffer = timed_tracks
+    ds.reload_mix_buffer = timed_mix
+
+    fit_t0 = None
+    fit_t0 = time.time()
+    t0 = fit_t0
     state = trainer.fit()
     wall = time.time() - t0
 
@@ -149,6 +182,15 @@ def main():
         "loss_first_third": round(float(np.mean(losses[:third])), 4) if losses else None,
         "loss_last_third": round(float(np.mean(losses[-third:])), 4) if losses else None,
         "host_pipeline": host,
+        "buffer_reloads": {
+            "count": len(reloads),
+            "per_reload": reloads,
+            "what": (
+                "each entry = one RAM-buffer reload cycle inside the "
+                "prefetch thread during fit (reference reloads once per "
+                "epoch, dataloader.py:384-419)"
+            ),
+        },
         "transfer": xfer,
         "attribution": {
             "host_headroom_x": round(host["steady_batches_per_sec"] / 6.12, 2),
