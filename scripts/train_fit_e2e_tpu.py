@@ -68,15 +68,29 @@ def host_pipeline_rate(n_batches: int = 40):
 
 
 def transfer_bandwidth():
-    import jax
+    """Upload bandwidth with a device->host DATA-READ fence.
 
-    x = np.random.default_rng(0).normal(size=(BS, NT, T)).astype(np.float32)
-    jax.block_until_ready(jax.device_put(x))  # warm the path
-    t0 = time.time()
-    reps = 3
+    ``block_until_ready`` is not a reliable completion fence on the axon
+    backend (PERF.md "per-dispatch measurement footgun") — fenced that way
+    this function once reported a 45 steps/s "tunnel bound", i.e. 1.5 GB/s
+    through a ~21 MB/s tunnel. Reading one element of the uploaded array
+    cannot resolve before the upload has actually landed on device. A fresh
+    array per rep also defeats any content-identity caching in the client.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(BS, NT, T)).astype(np.float32)
+    float(jnp.ravel(jax.device_put(x))[0])  # warm the path
+    reps, dt = 3, 0.0
     for _ in range(reps):
-        jax.block_until_ready(jax.device_put(x))
-    dt = (time.time() - t0) / reps
+        x = rng.normal(size=(BS, NT, T)).astype(np.float32)
+        t0 = time.time()
+        d = jax.device_put(x)
+        float(jnp.ravel(d)[0])  # data-read fence
+        dt += time.time() - t0
+    dt /= reps
     return {"bytes_per_batch": int(x.nbytes),
             "upload_s_per_batch": round(dt, 3),
             "bandwidth_mb_s": round(x.nbytes / dt / 1e6, 1)}
