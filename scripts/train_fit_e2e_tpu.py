@@ -118,17 +118,22 @@ def main():
     import main as cli
     from diffmst_tpu.utils.config import load_config
 
+    # 3 epochs: the buffer reloads once per epoch's worth of items
+    # (dataloader.py:384-419 semantics), so >=3 reload cycles requires >=3
+    # epochs — a single long epoch sees only the initial fill + the
+    # end-of-epoch wraparound.
+    epochs = 3
     trainer_overlay = "/tmp/e2e_trainer_overlay.yaml"
     with open(trainer_overlay, "w") as f:
         yaml.safe_dump({
             "seed_everything": 42,
             "trainer": {
-                "max_epochs": 1,
+                "max_epochs": epochs,
                 "log_every_n_steps": 10,
                 "default_root_dir": "logs/train_fit_e2e_ckpt",
                 # no val pass: the eval graph is a separate multi-minute
                 # compile; validation is exercised by tests and the CPU CLI
-                "check_val_every_n_epoch": 2,
+                "check_val_every_n_epoch": epochs + 1,
                 # ... and the CLI's Lightning-parity sanity default (2)
                 # would run that same eval compile inside the timed window
                 "num_sanity_val_steps": 0,
@@ -140,11 +145,12 @@ def main():
         "configs/data/synthetic-8.yaml",
         trainer_overlay,
     ])
-    # Reload cadence: the dataset reloads its RAM buffer once per
-    # num_examples_per_pass * num_train_passes items (reference epoch
-    # semantics, dataloader.py:384-419) — sized here so the run crosses
-    # >=3 full reload cycles.
-    cfg["data"]["init_args"]["num_examples_per_pass"] = steps * BS // 3
+    # Size each epoch at steps/epochs train steps: epoch items =
+    # num_examples_per_pass * num_train_passes, one buffer reload per epoch.
+    passes = int(cfg["data"]["init_args"].get("num_train_passes", 20))
+    cfg["data"]["init_args"]["num_examples_per_pass"] = (
+        steps * BS // (epochs * passes)
+    )
     system, datamodule, trainer = cli.build_from_config(cfg)
 
     # Per-reload host-pipeline stats: wrap the dataset's reload (it runs

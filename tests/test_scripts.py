@@ -311,3 +311,38 @@ def test_compare_script(tmp_path):
         assert os.path.exists(os.path.join(out_dir, "bark_spectrum.png"))
     except ImportError:
         pass
+
+
+def test_summarize_eval_table(tmp_path, capsys):
+    """summarize_eval aggregates per-method feature distances and declares
+    wins on the right side of each metric (distance down, sisdr up)."""
+    import scripts.summarize_eval as se
+
+    csv_path = tmp_path / "results.csv"
+    fields = ["song", "method", "track_start", "ref_start"]
+    for f in se.FEATURES:
+        fields += [f"mix_{f}", f"ref_{f}"]
+    fields += ["mrstft_to_ref", "sisdr_to_ref"]
+    with open(csv_path, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=fields)
+        w.writeheader()
+        for method, off, mr, sd in (("diffmst", 0.1, 1.0, -5.0),
+                                    ("sum", 0.5, 2.0, -20.0)):
+            row = {"song": "s0", "method": method, "track_start": 0,
+                   "ref_start": 0, "mrstft_to_ref": mr, "sisdr_to_ref": sd}
+            for f in se.FEATURES:
+                row[f"mix_{f}"] = 1.0 + off
+                row[f"ref_{f}"] = 1.0
+            w.writerow(row)
+
+    out_md = tmp_path / "summary.md"
+    old_argv = sys.argv
+    try:
+        sys.argv = ["summarize_eval", str(csv_path), "--out", str(out_md)]
+        se.main()
+    finally:
+        sys.argv = old_argv
+    text = out_md.read_text()
+    # diffmst is closer on every feature, lower mrstft, higher sisdr
+    assert "diffmst beats the equal-loudness sum on 7/7 metrics" in text
+    assert "| diffmst | 1 | " in text
