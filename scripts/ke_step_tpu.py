@@ -63,11 +63,13 @@ def main():
         ref_mix=jnp.zeros((BS, 2, T), jnp.float32),
     )
     state = system.init(jax.random.PRNGKey(1), batch)
-    step = system.make_train_step(system.effect_flags(0), donate=False)
+    # donate=True: the direct-dispatch step (donate=False is the fused
+    # trainer's request, which a host-side mix_fn rejects by design)
+    step = system.make_train_step(system.effect_flags(0), donate=True)
 
-    # compile + warm
+    # compile + warm (the step donates its input state: carry the output)
     t0 = time.time()
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
     first_loss = float(metrics["loss"])  # data-read fence
     compile_s = time.time() - t0
     assert np.isfinite(first_loss)
