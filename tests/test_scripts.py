@@ -346,3 +346,33 @@ def test_summarize_eval_table(tmp_path, capsys):
     # diffmst is closer on every feature, lower mrstft, higher sisdr
     assert "diffmst beats the equal-loudness sum on 7/7 metrics" in text
     assert "| diffmst | 1 | " in text
+
+
+def test_make_eval_songs_layout(tmp_path):
+    """make_eval_songs writes the reference eval layout (tracks/ + ref.wav)
+    with finite audio and the naive-mix reference at the training flags."""
+    from scripts.make_eval_songs import main as make_main
+    from diffmst_tpu.data import read_audio
+
+    out = tmp_path / "songs"
+    old_argv = sys.argv
+    try:
+        sys.argv = ["make_eval_songs", "--out", str(out), "--n", "1",
+                    "--t", "16384"]
+        make_main()
+    finally:
+        sys.argv = old_argv
+
+    song = out / "song_00"
+    stems = sorted((song / "tracks").glob("*.wav"))
+    assert len(stems) == 8
+    a, sr = read_audio(str(stems[0]))
+    assert sr == 44100 and a.shape[-1] == 16384
+    assert np.isfinite(a).all()
+    # stems staged at -48 dB peak
+    assert np.abs(a).max() == pytest.approx(10 ** (-48 / 20), rel=0.1)
+    ref, _ = read_audio(str(song / "ref.wav"))
+    assert ref.shape == (2, 16384)
+    assert np.isfinite(ref).all()
+    # reference mix is peak-normalized
+    assert np.abs(ref).max() == pytest.approx(1.0, rel=0.05)
