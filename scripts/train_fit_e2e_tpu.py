@@ -178,11 +178,9 @@ def main():
     ds.reload_track_buffer = timed_tracks
     ds.reload_mix_buffer = timed_mix
 
-    fit_t0 = None
     fit_t0 = time.time()
-    t0 = fit_t0
     state = trainer.fit()
-    wall = time.time() - t0
+    wall = time.time() - fit_t0
 
     losses = [h["loss"] for h in trainer.history if "loss" in h]
     sps = [h["steps_per_sec"] for h in trainer.history if "steps_per_sec" in h]
